@@ -1,0 +1,60 @@
+"""Engine configuration constants.
+
+Mirrors the reference's tunables (SmartPDF-OCR ``app/config.py:54-98``) so the
+extraction semantics are pinned to the same numbers, plus Spark-side knobs the
+reference has no analog for (partitioning, Arrow batch sizing, salting).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- detection (reference app/config.py:54) ---
+    pdf_text_threshold: int = 50  # chars/page >= threshold => text page
+
+    # --- rendering (reference app/config.py:57-59) ---
+    default_dpi: int = 300
+    max_dpi: int = 600
+    min_dpi: int = 150
+
+    # --- OCR (reference app/config.py:66) ---
+    ocr_confidence_threshold: float = 0.5
+
+    # --- preprocess defaults (reference app/config.py:70-73) ---
+    preprocess_denoise: bool = True
+    preprocess_binarize: bool = False
+    preprocess_deskew: bool = True
+    binarize_threshold: int = 127
+
+    # --- layout postprocess (reference app/config.py:76-78) ---
+    paragraph_line_spacing_threshold: float = 1.5
+    remove_header_footer: bool = True
+    header_footer_repeat_threshold: int = 3
+
+    # --- detection sampling (reference app/core/pdf_detector.py:61-67) ---
+    detect_sample_page_limit: int = 50
+    detect_sample_head: int = 15
+    detect_sample_tail: int = 15
+
+    # --- HTML extraction (no reference analog; our DOM-walk heuristics) ---
+    html_strip_tags: tuple = (
+        "script", "style", "nav", "header", "footer", "aside",
+        "noscript", "template", "iframe", "svg", "form", "button",
+    )
+    html_repeat_threshold: int = 3  # repeated-block boilerplate (mirrors L4)
+
+    # --- Spark physical knobs ---
+    num_buckets: int = 64          # deterministic work buckets (lineage unit)
+    salt_turns_per_group: int = 64  # long-conversation salting granularity
+    arrow_max_records_per_batch: int = 256  # base64 PDFs are fat rows
+
+
+DEFAULT = EngineConfig()
+
+
+def shuffle_partitions_default() -> int:
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
