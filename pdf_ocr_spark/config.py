@@ -44,6 +44,7 @@ class EngineConfig:
     html_strip_tags: tuple = (
         "script", "style", "nav", "header", "footer", "aside",
         "noscript", "template", "iframe", "svg", "form", "button",
+        "head", "title",
     )
     html_repeat_threshold: int = 3  # repeated-block boilerplate (mirrors L4)
 

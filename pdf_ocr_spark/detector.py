@@ -1,0 +1,121 @@
+"""Payload-kind detection and PDF type detection.
+
+``detect_payload_kind`` is the cheap prefix router used Spark-side before any
+heavy work: base64("%PDF") always starts with "JVBERi", HTML starts with a
+doctype/html tag, everything else is plain chat text.
+
+``detect_pdf`` replicates the reference's PDFDetector.detect exactly
+(SmartPDF-OCR ``app/core/pdf_detector.py:38-122``), including the >50-page
+sampling extrapolation arithmetic (head 15 / mid 15 / tail 15, sampled-only
+char totals, type extrapolation) which changes observable output and must
+match for byte equality.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+from dataclasses import dataclass
+
+from .minipdf import MiniPdf
+
+KIND_PDF = "pdf_b64"
+KIND_HTML = "html"
+KIND_PLAIN = "plain"
+
+_PDF_B64_PREFIX = "JVBERi"  # base64 of "%PDF"
+
+
+def detect_payload_kind(text: str) -> str:
+    if text.startswith(_PDF_B64_PREFIX):
+        return KIND_PDF
+    head = text.lstrip()[:15].lower()
+    if head.startswith("<!doctype html") or head.startswith("<html"):
+        return KIND_HTML
+    return KIND_PLAIN
+
+
+def decode_pdf_payload(text: str) -> bytes:
+    """base64 -> bytes with %PDF magic validation (the reference's
+    validate_pdf magic check, app/core/file_manager.py:89-92)."""
+    try:
+        data = base64.b64decode(text, validate=False)
+    except (binascii.Error, ValueError) as e:
+        raise ValueError(f"invalid base64 payload: {e}") from None
+    if not data.startswith(b"%PDF"):
+        raise ValueError("decoded payload missing %PDF magic")
+    return data
+
+
+@dataclass
+class PdfInfo:
+    """Reference PDFInfo (pdf_detector.py:14-23)."""
+    page_count: int
+    pdf_type: str  # "text" | "image" | "mixed"
+    text_pages: list
+    image_pages: list
+    total_text_chars: int
+    avg_chars_per_page: float
+
+
+def detect_pdf(pdf: MiniPdf, threshold: int = 50,
+               sample_page_limit: int = 50) -> PdfInfo:
+    """Faithful replica of PDFDetector.detect (pdf_detector.py:38-122)."""
+    page_count = pdf.page_count
+    text_pages: list[int] = []
+    image_pages: list[int] = []
+    total_chars = 0
+
+    sample_indices = range(page_count)
+    is_sampled = False
+    if page_count > sample_page_limit:
+        is_sampled = True
+        s1 = list(range(min(15, page_count)))
+        s2 = list(range(max(0, page_count // 2 - 7),
+                        min(page_count, page_count // 2 + 8)))
+        s3 = list(range(max(0, page_count - 15), page_count))
+        sample_indices = sorted(set(s1 + s2 + s3))
+
+    for i in range(page_count):
+        if is_sampled and i not in sample_indices:
+            continue
+        text = pdf.extract_page_text(i) or ""
+        char_count = len(text.strip())
+        total_chars += char_count
+        if char_count >= threshold:
+            text_pages.append(i)
+        else:
+            image_pages.append(i)
+
+    if is_sampled:
+        sample_set = set(sample_indices)
+        sample_text_count = len([i for i in text_pages if i in sample_set])
+        sample_image_count = len([i for i in image_pages if i in sample_set])
+        if sample_text_count > 0 and sample_image_count > 0:
+            pdf_type = "mixed"
+        elif sample_text_count > 0:
+            pdf_type = "text"
+            text_pages = list(range(page_count))
+            image_pages = []
+        else:
+            pdf_type = "image"
+            image_pages = list(range(page_count))
+            text_pages = []
+        avg_chars = total_chars / len(sample_indices) if sample_indices else 0
+    else:
+        avg_chars = total_chars / page_count if page_count > 0 else 0
+        if len(image_pages) == 0:
+            pdf_type = "text"
+        elif len(text_pages) == 0:
+            pdf_type = "image"
+        else:
+            pdf_type = "mixed"
+
+    return PdfInfo(
+        page_count=page_count,
+        pdf_type=pdf_type,
+        text_pages=text_pages,
+        image_pages=image_pages,
+        total_text_chars=total_chars,
+        avg_chars_per_page=avg_chars,
+    )

@@ -1,0 +1,104 @@
+"""HTML main-content extraction (DOM walk + boilerplate strip).
+
+The reference has no HTML path; the north rule requires one with the same
+*shape* as the PDF path: block segmentation -> boilerplate removal ->
+paragraph assembly. Heuristics (each pinned by a unit test):
+
+  * container strip: content under script/style/nav/header/footer/aside/...
+    is dropped entirely (tag set in EngineConfig.html_strip_tags),
+  * block segmentation: block-level tags delimit paragraphs; <br> splits,
+  * whitespace: runs collapsed to single spaces, blocks stripped, empties
+    dropped,
+  * repeated-block boilerplate: a normalized block text occurring on >=
+    ``repeat_threshold`` (3) distinct occurrences is removed everywhere —
+    the direct analog of the reference's repeated header/footer counter
+    (SmartPDF-OCR ``app/ocr/postprocess.py:315-359``).
+
+Pure function of the input string — shared by the oracle and the Spark UDFs.
+Implemented on html.parser (stdlib); no lxml in this sandbox.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from html.parser import HTMLParser
+
+from .config import DEFAULT
+
+_BLOCK_TAGS = {
+    "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+    "pre", "blockquote", "section", "article", "tr", "table", "ul", "ol",
+    "main", "figure", "figcaption", "dd", "dt", "dl",
+}
+_VOID_TAGS = {"br", "hr", "img", "input", "meta", "link"}
+_WS_RX = re.compile(r"\s+")
+
+
+class _Extractor(HTMLParser):
+    def __init__(self, strip_tags):
+        super().__init__(convert_charrefs=True)
+        self.strip_tags = set(strip_tags)
+        self.suppress_depth = 0
+        self.blocks: list[str] = []
+        self.buf: list[str] = []
+
+    def _flush(self):
+        raw = "".join(self.buf)
+        self.buf = []
+        text = _WS_RX.sub(" ", raw).strip()
+        if text:
+            self.blocks.append(text)
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "body":
+            # recovery for documents that never close <head> (html.parser
+            # does no implicit closing) — body always ends suppression
+            self.suppress_depth = 0
+        if tag in self.strip_tags:
+            self.suppress_depth += 1
+            return
+        if self.suppress_depth:
+            return
+        if tag in _BLOCK_TAGS or tag in ("br", "hr"):
+            self._flush()
+
+    def handle_endtag(self, tag):
+        if tag in self.strip_tags:
+            self.suppress_depth = max(0, self.suppress_depth - 1)
+            return
+        if self.suppress_depth:
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID_TAGS:
+            self.handle_endtag(tag)
+
+    def handle_data(self, data):
+        if not self.suppress_depth:
+            self.buf.append(data)
+
+
+def extract_html_blocks(html: str, strip_tags=None,
+                        repeat_threshold: int | None = None) -> list:
+    """HTML -> list of main-content block texts (boilerplate removed)."""
+    if strip_tags is None:
+        strip_tags = DEFAULT.html_strip_tags
+    if repeat_threshold is None:
+        repeat_threshold = DEFAULT.html_repeat_threshold
+    parser = _Extractor(strip_tags)
+    parser.feed(html)
+    parser.close()
+    parser._flush()
+    blocks = parser.blocks
+    counts = Counter(blocks)
+    boilerplate = {t for t, c in counts.items() if c >= repeat_threshold}
+    return [b for b in blocks if b not in boilerplate]
+
+
+def extract_html_text(html: str, **kw) -> str:
+    """Blocks joined "\\n\\n" — same assembly as PDF paragraphs (L7)."""
+    return "\n\n".join(extract_html_blocks(html, **kw))

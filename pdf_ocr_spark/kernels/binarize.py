@@ -1,0 +1,96 @@
+"""Binarization kernels. Reference: SmartPDF-OCR ``app/preprocess/binarize.py``.
+
+Registry mirrors binarize.py:152-182: simple (threshold 127), otsu (default),
+adaptive (gaussian/mean, block 11, C 2), sauvola (window 25, k 0.5, r 128 —
+the reference hand-rolls it via box filters too). Input uint8 gray or RGB;
+output uint8 binary {0, 255} with white background.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _to_gray(img: np.ndarray) -> np.ndarray:
+    if img.ndim == 3:
+        return np.rint(img.astype(np.float64).mean(axis=2)).astype(np.uint8)
+    return img
+
+
+def _box_mean(f: np.ndarray, win: int) -> np.ndarray:
+    """Windowed mean via integral image, edge-clamped window."""
+    h, w = f.shape
+    k = win // 2
+    integ = np.zeros((h + 1, w + 1))
+    integ[1:, 1:] = f.cumsum(0).cumsum(1)
+    y0 = np.clip(np.arange(h) - k, 0, h)
+    y1 = np.clip(np.arange(h) + k + 1, 0, h)
+    x0 = np.clip(np.arange(w) - k, 0, w)
+    x1 = np.clip(np.arange(w) + k + 1, 0, w)
+    s = (integ[y1][:, x1] - integ[y0][:, x1]
+         - integ[y1][:, x0] + integ[y0][:, x0])
+    area = np.outer(y1 - y0, x1 - x0)
+    return s / area
+
+
+def simple_binarize(img: np.ndarray, threshold: int = 127) -> np.ndarray:
+    """Global threshold (reference binarize.py:18-41)."""
+    g = _to_gray(img)
+    return np.where(g > threshold, 255, 0).astype(np.uint8)
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = hist.sum()
+    omega = hist.cumsum() / total
+    mu = (hist * np.arange(256)).cumsum() / total
+    mu_t = mu[-1]
+    denom = omega * (1 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = (mu_t * omega - mu) ** 2 / np.where(denom > 0, denom, np.inf)
+    return int(np.argmax(sigma_b))
+
+
+def otsu_binarize(img: np.ndarray) -> np.ndarray:
+    """Otsu global threshold (reference binarize.py:44-68)."""
+    g = _to_gray(img)
+    return np.where(g > otsu_threshold(g), 255, 0).astype(np.uint8)
+
+
+def adaptive_binarize(img: np.ndarray, method: str = "gaussian",
+                      block: int = 11, c: float = 2.0) -> np.ndarray:
+    """Adaptive mean/gaussian threshold (reference binarize.py:71-113).
+
+    The gaussian variant uses a box-mean approximation of the gaussian
+    window — documented simplification (no cv2.getGaussianKernel here).
+    """
+    g = _to_gray(img).astype(np.float64)
+    local = _box_mean(g, block)
+    return np.where(g > local - c, 255, 0).astype(np.uint8)
+
+
+def sauvola_binarize(img: np.ndarray, window: int = 25, k: float = 0.5,
+                     r: float = 128.0) -> np.ndarray:
+    """Sauvola local threshold via box filters (reference binarize.py:116-149)."""
+    g = _to_gray(img).astype(np.float64)
+    mean = _box_mean(g, window)
+    sq_mean = _box_mean(g ** 2, window)
+    std = np.sqrt(np.maximum(sq_mean - mean ** 2, 0))
+    thresh = mean * (1 + k * (std / r - 1))
+    return np.where(g > thresh, 255, 0).astype(np.uint8)
+
+
+_METHODS = {
+    "simple": simple_binarize,
+    "otsu": otsu_binarize,
+    "adaptive": adaptive_binarize,
+    "sauvola": sauvola_binarize,
+}
+
+
+def binarize(img: np.ndarray, method: str = "otsu") -> np.ndarray:
+    """String-dispatched binarize (reference binarize.py:152-182)."""
+    fn = _METHODS.get(method)
+    if fn is None:
+        raise ValueError(f"unknown binarize method: {method}")
+    return fn(img)

@@ -1,0 +1,159 @@
+"""Skew detection and correction. Reference: SmartPDF-OCR
+``app/preprocess/deskew.py``.
+
+Method registry mirrors deskew.py:161-189 (hough default, projection,
+minarea); the search range is the reference's +/-15 degrees in 0.5-degree
+steps (projection, deskew.py:76-121). ``deskew`` is a no-op below 0.1 degrees
+(deskew.py:239-264). ``rotate_image`` expands the canvas to fit, constant
+white border (deskew.py:192-236).
+
+Conventions: ``detect_skew_angle`` returns the angle (degrees, CCW positive)
+by which the text appears rotated; ``deskew`` rotates by the negated angle to
+correct it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .binarize import otsu_binarize
+
+_MAX_ANGLE = 15.0
+_STEP = 0.5
+
+
+def _ink_points(img: np.ndarray, cap: int = 20000) -> np.ndarray:
+    binary = otsu_binarize(img)
+    ys, xs = np.nonzero(binary == 0)
+    if len(ys) == 0:
+        return np.empty((0, 2))
+    if len(ys) > cap:
+        idx = np.linspace(0, len(ys) - 1, cap).astype(int)
+        ys, xs = ys[idx], xs[idx]
+    return np.stack([ys, xs], axis=1).astype(np.float64)
+
+
+def projection_skew(img: np.ndarray) -> float:
+    """Maximize horizontal-projection variance over +/-15 deg in 0.5 steps
+    (reference deskew.py:76-121)."""
+    pts = _ink_points(img)
+    if len(pts) < 10:
+        return 0.0
+    ys, xs = pts[:, 0], pts[:, 1]
+    best_angle, best_var = 0.0, -1.0
+    for angle in np.arange(-_MAX_ANGLE, _MAX_ANGLE + _STEP / 2, _STEP):
+        t = np.deg2rad(angle)
+        yp = ys * np.cos(t) - xs * np.sin(t)
+        yb = np.floor(yp - yp.min()).astype(int)
+        counts = np.bincount(yb)
+        var = counts.var()
+        if var > best_var:
+            best_var, best_angle = var, float(angle)
+    return best_angle
+
+
+def hough_skew(img: np.ndarray) -> float:
+    """Median angle of dominant near-horizontal Hough lines
+    (reference deskew.py:18-73 uses Canny+HoughLinesP; here: gradient edges
+    + a standard Hough accumulator restricted to +/-15 deg line angles)."""
+    g = img.astype(np.float64)
+    if g.ndim == 3:
+        g = g.mean(axis=2)
+    gy = np.abs(np.diff(g, axis=0, prepend=g[:1]))
+    gx = np.abs(np.diff(g, axis=1, prepend=g[:, :1]))
+    mag = gx + gy
+    thresh = max(mag.mean() * 4, 40.0)
+    ys, xs = np.nonzero(mag > thresh)
+    if len(ys) < 20:
+        return 0.0
+    if len(ys) > 15000:
+        idx = np.linspace(0, len(ys) - 1, 15000).astype(int)
+        ys, xs = ys[idx], xs[idx]
+    angles = np.arange(-_MAX_ANGLE, _MAX_ANGLE + _STEP / 2, _STEP)
+    diag = int(np.hypot(*img.shape[:2])) + 1
+    votes = np.empty(len(angles))
+    peak_rho_angles = []
+    for i, a in enumerate(angles):
+        # line angle a => normal angle a+90; rho = x*cos(n) + y*sin(n)
+        t = np.deg2rad(a + 90.0)
+        rho = xs * np.cos(t) + ys * np.sin(t)
+        counts = np.bincount(
+            np.floor(rho + diag).astype(int), minlength=2 * diag
+        )
+        votes[i] = counts.max()
+        peak_rho_angles.append(a)
+    # top-5 vote angles, median (robust like the reference's median of line
+    # segment angles, deskew.py:58-69)
+    top = np.argsort(votes)[-5:]
+    return float(np.median(angles[top]))
+
+
+def minarea_skew(img: np.ndarray) -> float:
+    """Principal-axis orientation of ink points folded to +/-45 deg
+    (reference deskew.py:124-158 uses cv2.minAreaRect; PCA is the numpy
+    analog for axis-aligned text blocks)."""
+    pts = _ink_points(img)
+    if len(pts) < 10:
+        return 0.0
+    centered = pts - pts.mean(axis=0)
+    cov = centered.T @ centered / len(centered)
+    evals, evecs = np.linalg.eigh(cov)
+    main = evecs[:, int(np.argmax(evals))]  # (dy, dx)
+    angle = np.rad2deg(np.arctan2(main[0], main[1]))
+    while angle > 45:
+        angle -= 90
+    while angle < -45:
+        angle += 90
+    # PCA of horizontal text gives ~0 for unskewed; positive = CCW-ish skew
+    return float(-angle)
+
+
+_METHODS = {
+    "hough": hough_skew,
+    "projection": projection_skew,
+    "minarea": minarea_skew,
+}
+
+
+def detect_skew_angle(img: np.ndarray, method: str = "hough") -> float:
+    """String-dispatched skew detection (reference deskew.py:161-189)."""
+    fn = _METHODS.get(method)
+    if fn is None:
+        raise ValueError(f"unknown skew method: {method}")
+    return fn(img)
+
+
+def rotate_image(img: np.ndarray, angle_deg: float,
+                 bg: int = 255) -> np.ndarray:
+    """Rotate CCW by angle with canvas expansion and constant border
+    (reference deskew.py:192-236). Nearest-neighbor sampling."""
+    h, w = img.shape[:2]
+    t = np.deg2rad(angle_deg)
+    cos_a, sin_a = abs(np.cos(t)), abs(np.sin(t))
+    new_w = int(np.ceil(w * cos_a + h * sin_a))
+    new_h = int(np.ceil(w * sin_a + h * cos_a))
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ncy, ncx = (new_h - 1) / 2.0, (new_w - 1) / 2.0
+    yy, xx = np.mgrid[0:new_h, 0:new_w]
+    ys = (yy - ncy) * np.cos(t) - (xx - ncx) * np.sin(t) + cy
+    xs = (yy - ncy) * np.sin(t) + (xx - ncx) * np.cos(t) + cx
+    ysi = np.rint(ys).astype(int)
+    xsi = np.rint(xs).astype(int)
+    valid = (ysi >= 0) & (ysi < h) & (xsi >= 0) & (xsi < w)
+    if img.ndim == 3:
+        out = np.full((new_h, new_w, img.shape[2]), bg, dtype=img.dtype)
+    else:
+        out = np.full((new_h, new_w), bg, dtype=img.dtype)
+    out[valid] = img[ysi[valid], xsi[valid]]
+    return out
+
+
+def deskew(img: np.ndarray, method: str = "projection") -> tuple:
+    """Detect-and-correct; no-op below 0.1 deg (reference deskew.py:239-264).
+
+    Returns (corrected_image, detected_angle).
+    """
+    angle = detect_skew_angle(img, method)
+    if abs(angle) < 0.1:
+        return img, 0.0
+    return rotate_image(img, -angle), angle

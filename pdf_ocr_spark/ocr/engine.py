@@ -1,0 +1,187 @@
+"""OCR engine with the reference's engine contract, deterministic backend.
+
+Model classes mirror the reference (SmartPDF-OCR ``app/ocr/engine.py:15-78``):
+``OCRLine(text, confidence, box[4][2])`` with derived geometry, and
+``OCRResult(page_num, lines, img_width, img_height)`` whose lines are sorted
+by (y_min, x_min) (engine.py:76-78,205).
+
+The backend is pluggable like the reference's PaddleOCR slot: here a
+deterministic template-matching engine over the repo's bitmap font — one
+OCRLine per word, confidence = mean glyph template score. PaddleOCR is not
+installable in this sandbox; the engine interface (``recognize(image,
+page_num) -> OCRResult``) is slot-compatible so a real backend drops in.
+
+Executor-side caching follows the reference's singleton pattern
+(engine.py:81-91): one engine per Python worker process via ``get_engine()``,
+reused across Arrow batches (Spark reuses Python workers by default).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .. import fonts
+from ..kernels.binarize import otsu_threshold
+
+
+@dataclass
+class OCRLine:
+    text: str
+    confidence: float
+    box: list  # [[x,y] * 4]
+
+    @property
+    def x_min(self) -> float:
+        return min(p[0] for p in self.box)
+
+    @property
+    def x_max(self) -> float:
+        return max(p[0] for p in self.box)
+
+    @property
+    def y_min(self) -> float:
+        return min(p[1] for p in self.box)
+
+    @property
+    def y_max(self) -> float:
+        return max(p[1] for p in self.box)
+
+    @property
+    def height(self) -> float:
+        return self.y_max - self.y_min
+
+    @property
+    def width(self) -> float:
+        return self.x_max - self.x_min
+
+    @property
+    def center_y(self) -> float:
+        return (self.y_min + self.y_max) / 2
+
+
+@dataclass
+class OCRResult:
+    page_num: int
+    lines: list = field(default_factory=list)
+    img_width: int = 0
+    img_height: int = 0
+
+    @property
+    def text(self) -> str:
+        return "\n".join(line.text for line in self.lines)
+
+    @property
+    def avg_confidence(self) -> float:
+        if not self.lines:
+            return 0.0
+        return sum(l.confidence for l in self.lines) / len(self.lines)
+
+    def sort_by_position(self) -> None:
+        self.lines.sort(key=lambda l: (l.y_min, l.x_min))
+
+
+class DeterministicOCREngine:
+    """Template-matching OCR over the deterministic bitmap font.
+
+    Segmentation: Otsu-binarize -> horizontal ink bands (text rows) ->
+    vertical ink runs (glyphs) -> word grouping by gap threshold ->
+    per-glyph block-mean downsample + Hamming nearest template.
+    Fully deterministic for a given image.
+    """
+
+    def warmup(self) -> None:
+        """Reference warmup analog (engine.py:153-165): dummy inference."""
+        self.recognize(np.full((32, 32), 255, dtype=np.uint8))
+
+    def recognize(self, image: np.ndarray, page_num: int = 0) -> OCRResult:
+        gray = image
+        if image.ndim == 3:
+            gray = np.rint(image.astype(np.float64).mean(axis=2)) \
+                .astype(np.uint8)
+        thr = otsu_threshold(gray)
+        ink = gray <= thr
+        # a near-blank page: otsu on flat histogram marks everything ink
+        if ink.mean() > 0.5:
+            ink = np.zeros_like(ink)
+        lines = self._segment_and_decode(ink)
+        result = OCRResult(
+            page_num=page_num,
+            lines=lines,
+            img_width=image.shape[1],
+            img_height=image.shape[0],
+        )
+        result.sort_by_position()
+        return result
+
+    def recognize_batch(self, images: list, start_page: int = 0) -> list:
+        """Serial loop like the reference (engine.py:209-228); Spark-side
+        parallelism comes from partitions, not threads."""
+        return [
+            self.recognize(img, page_num=start_page + i)
+            for i, img in enumerate(images)
+        ]
+
+    def get_text_only(self, image: np.ndarray) -> str:
+        return self.recognize(image).text
+
+    # -- internals -----------------------------------------------------
+    def _segment_and_decode(self, ink: np.ndarray) -> list:
+        lines: list[OCRLine] = []
+        row_has_ink = ink.any(axis=1)
+        if not row_has_ink.any():
+            return lines
+        # contiguous row bands
+        padded = np.diff(row_has_ink.astype(np.int8), prepend=0, append=0)
+        starts = np.nonzero(padded == 1)[0]
+        ends = np.nonzero(padded == -1)[0]
+        for top, bot in zip(starts, ends):
+            band = ink[top:bot]
+            col_has_ink = band.any(axis=0)
+            if not col_has_ink.any():
+                continue
+            cpad = np.diff(col_has_ink.astype(np.int8), prepend=0, append=0)
+            runs = list(zip(np.nonzero(cpad == 1)[0],
+                            np.nonzero(cpad == -1)[0]))
+            est_scale = (bot - top) / fonts.GLYPH_H
+            word_gap = 3.5 * est_scale
+            # group glyph runs into words
+            words: list[list[tuple]] = [[runs[0]]]
+            for prev, cur in zip(runs, runs[1:]):
+                if cur[0] - prev[1] > word_gap:
+                    words.append([cur])
+                else:
+                    words[-1].append(cur)
+            for word_runs in words:
+                chars = []
+                confs = []
+                for c0, c1 in word_runs:
+                    patch = band[:, c0:c1].astype(np.float64)
+                    # trim to the glyph's own vertical ink extent
+                    rr = patch.any(axis=1)
+                    r0, r1 = np.argmax(rr), len(rr) - np.argmax(rr[::-1])
+                    ch, conf = fonts.match_glyph(patch[r0:r1])
+                    chars.append(ch)
+                    confs.append(conf)
+                x0, x1 = float(word_runs[0][0]), float(word_runs[-1][1])
+                y0, y1 = float(top), float(bot)
+                lines.append(OCRLine(
+                    text="".join(chars),
+                    confidence=float(np.mean(confs)),
+                    box=[[x0, y0], [x1, y0], [x1, y1], [x0, y1]],
+                ))
+        return lines
+
+
+_ENGINE: DeterministicOCREngine | None = None
+
+
+def get_engine() -> DeterministicOCREngine:
+    """Per-process engine cache — the Spark analog of the reference's
+    singleton (engine.py:81-91); Python workers are reused across batches."""
+    global _ENGINE
+    if _ENGINE is None:
+        _ENGINE = DeterministicOCREngine()
+        _ENGINE.warmup()
+    return _ENGINE

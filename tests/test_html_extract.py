@@ -1,0 +1,69 @@
+"""HTML DOM-walk extraction heuristics."""
+
+from pdf_ocr_spark.html_extract import extract_html_blocks, extract_html_text
+
+
+DOC = """<!DOCTYPE html>
+<html><head><title>t</title><style>p {color:red}</style>
+<script>var x = 1;</script></head>
+<body>
+<nav>Home | About | Contact</nav>
+<header>Site Header</header>
+<div><p>First paragraph of   the main content.</p>
+<p>Second paragraph.</p></div>
+<ul><li>item one</li><li>item two</li></ul>
+<footer>Copyright 2026</footer>
+</body></html>"""
+
+
+def test_strip_containers_and_collapse_ws():
+    blocks = extract_html_blocks(DOC)
+    assert blocks == [
+        "First paragraph of the main content.",
+        "Second paragraph.",
+        "item one",
+        "item two",
+    ]
+
+
+def test_text_assembly():
+    assert extract_html_text(DOC).startswith(
+        "First paragraph of the main content.\n\nSecond paragraph.")
+
+
+def test_br_splits_blocks():
+    blocks = extract_html_blocks("<html><body><p>a<br>b</p></body></html>")
+    assert blocks == ["a", "b"]
+
+
+def test_entities_decoded():
+    blocks = extract_html_blocks(
+        "<html><body><p>a &amp; b &lt;c&gt;</p></body></html>")
+    assert blocks == ["a & b <c>"]
+
+
+def test_repeated_block_boilerplate_removed():
+    html = "<html><body>" + \
+        "".join(f"<section><p>Buy now!</p><p>content {i}</p></section>"
+                for i in range(3)) + "</body></html>"
+    blocks = extract_html_blocks(html)
+    assert blocks == ["content 0", "content 1", "content 2"]
+
+
+def test_repeated_block_below_threshold_kept():
+    html = "<html><body>" + \
+        "".join(f"<section><p>Buy now!</p><p>content {i}</p></section>"
+                for i in range(2)) + "</body></html>"
+    blocks = extract_html_blocks(html)
+    assert "Buy now!" in blocks
+
+
+def test_nested_strip_tag():
+    html = ("<html><body><nav><div><p>menu</p></div></nav>"
+            "<p>real</p></body></html>")
+    assert extract_html_blocks(html) == ["real"]
+
+
+def test_malformed_html_no_crash():
+    assert extract_html_blocks("<html><p>unclosed <b>bold") == \
+        ["unclosed bold"]
