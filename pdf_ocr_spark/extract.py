@@ -1,0 +1,205 @@
+"""Spark-side extraction: vectorized per-batch implementation.
+
+This is what runs inside ``mapInPandas`` — the whole reference pipeline
+(detect -> route -> render -> preprocess -> OCR -> layout -> assemble)
+re-expressed over Arrow batches. Routing and geometry are vectorized
+(pandas/numpy); per-document decode work iterates documents *within* a batch,
+which is the Arrow-batch analog of the reference's per-request loop — there
+is no per-row Python UDF dispatch anywhere.
+
+Byte-equality contract: for every payload, ``extract_batch`` must produce the
+same (extracted_text, spans) as ``pdf_ocr_spark.oracle.extract_turn`` —
+enforced by tests/test_pipeline_equality.py.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+
+from .config import DEFAULT, EngineConfig
+from .detector import decode_pdf_payload, detect_pdf
+from .html_extract import extract_html_blocks
+from .kernels import binarize, denoise, deskew
+from .minipdf import MiniPdf
+from .ocr import layout
+from .ocr.engine import get_engine
+
+_PDF_PREFIX = "JVBERi"
+
+RESULT_COLUMNS = [
+    "extracted_text", "spans", "method", "confidence", "n_pages", "error",
+    "elapsed_us",
+]
+
+
+def _spans(paragraphs: list, sep_len: int = 2) -> list:
+    out = []
+    pos = 0
+    for i, p in enumerate(paragraphs):
+        if i > 0:
+            pos += sep_len
+        out.append({"start": pos, "end": pos + len(p)})
+        pos += len(p)
+    return out
+
+
+def route_kinds(texts: pd.Series) -> pd.Series:
+    """Vectorized payload routing (cheap prefix tests, no decode)."""
+    is_pdf = texts.str.startswith(_PDF_PREFIX)
+    head = texts.str.lstrip().str.slice(0, 15).str.lower()
+    is_html = head.str.startswith("<!doctype html") | \
+        head.str.startswith("<html")
+    return pd.Series(
+        np.select([is_pdf, is_html], ["pdf_b64", "html"], default="plain"),
+        index=texts.index)
+
+
+def _extract_pdf_doc(text: str, cfg: EngineConfig) -> tuple:
+    """One PDF document -> (text, spans, method, conf, n_pages, error).
+
+    Orchestration mirrors the reference task loop (api/ocr.py:68-318) with
+    the vectorized layout core; see oracle._extract_pdf for the loop-style
+    twin and the inline citations.
+    """
+    try:
+        pdf = MiniPdf(decode_pdf_payload(text))
+    except ValueError as e:
+        return "", [], "error", 0.0, 0, str(e)
+    info = detect_pdf(pdf, threshold=cfg.pdf_text_threshold,
+                      sample_page_limit=cfg.detect_sample_page_limit)
+    dpi = max(cfg.min_dpi, min(cfg.max_dpi, cfg.default_dpi))
+
+    if info.pdf_type == "text":
+        page_texts = [pdf.extract_text(p) for p in range(info.page_count)]
+        return ("\n\n".join(page_texts), _spans(page_texts), "extract", 1.0,
+                info.page_count, None)
+
+    engine = get_engine()
+    image_pages = set(info.image_pages)
+    rows = []
+    processed = []
+    for page_num in range(info.page_count):
+        if page_num not in image_pages:
+            rows.append({"page": page_num,
+                         "text": pdf.extract_text(page_num),
+                         "confidence": 1.0})
+            continue
+        try:
+            img = pdf.render_page(page_num, dpi=dpi)
+            if cfg.preprocess_denoise:
+                img = denoise(img, method="gaussian")
+            if cfg.preprocess_deskew:
+                img, _ = deskew(img)
+            if cfg.preprocess_binarize:
+                img = binarize(img, method="otsu")
+        except Exception as e:
+            rows.append({"page": page_num, "text": "", "confidence": 0.0,
+                         "error": str(e)})
+            continue
+        res = engine.recognize(img, page_num)
+        texts = [l.text for l in res.lines]
+        boxes = np.array([l.box for l in res.lines], dtype=float) \
+            if res.lines else np.empty((0, 4, 2))
+        confs = np.array([l.confidence for l in res.lines], dtype=float)
+        page = layout.process_page(
+            texts, boxes, confs, page_num=page_num,
+            img_width=res.img_width, img_height=res.img_height,
+            spacing_threshold=cfg.paragraph_line_spacing_threshold)
+        processed.append(page)
+        rows.append({"page": page_num, "text": page.text,
+                     "confidence": res.avg_confidence,
+                     "paragraphs": [p.text for p in page.paragraphs]})
+
+    if cfg.remove_header_footer and processed:
+        final_pages = layout.remove_headers_footers(
+            processed, cfg.header_footer_repeat_threshold)
+        # positional patch, faithfully misaligned for mixed docs
+        # (api/ocr.py:275-282)
+        for idx, page in enumerate(final_pages):
+            if idx < len(rows):
+                rows[idx]["text"] = page.text
+                rows[idx]["paragraphs"] = [p.text for p in page.paragraphs]
+
+    paragraphs: list[str] = []
+    for row in rows:
+        if "paragraphs" in row:
+            paragraphs.extend(row["paragraphs"])
+        else:
+            paragraphs.append(row.get("text", ""))
+    conf = sum(r["confidence"] for r in rows) / len(rows) if rows else 0.0
+    return ("\n\n".join(paragraphs), _spans(paragraphs), "ocr", conf,
+            info.page_count, None)
+
+
+def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
+        -> pd.DataFrame:
+    """Extract a batch of turn payloads -> result frame (RESULT_COLUMNS)."""
+    n = len(texts)
+    kinds = route_kinds(texts)
+    out_text = np.empty(n, dtype=object)
+    out_spans = np.empty(n, dtype=object)
+    out_method = np.empty(n, dtype=object)
+    out_conf = np.zeros(n)
+    out_pages = np.zeros(n, dtype=np.int32)
+    out_err = np.full(n, None, dtype=object)
+    out_us = np.zeros(n, dtype=np.int64)
+
+    vals = texts.to_numpy(dtype=object)
+    kind_arr = kinds.to_numpy()
+
+    # plain: vectorized passthrough
+    plain_idx = np.nonzero(kind_arr == "plain")[0]
+    for i in plain_idx:
+        t0 = time.perf_counter_ns()
+        t = vals[i]
+        out_text[i] = t
+        out_spans[i] = [{"start": 0, "end": len(t)}] if t else []
+        out_method[i] = "plain"
+        out_conf[i] = 1.0
+        out_pages[i] = 1
+        out_us[i] = (time.perf_counter_ns() - t0) // 1000
+
+    for i in np.nonzero(kind_arr == "html")[0]:
+        t0 = time.perf_counter_ns()
+        blocks = extract_html_blocks(
+            vals[i], strip_tags=cfg.html_strip_tags,
+            repeat_threshold=cfg.html_repeat_threshold)
+        out_text[i] = "\n\n".join(blocks)
+        out_spans[i] = _spans(blocks)
+        out_method[i] = "html"
+        out_conf[i] = 1.0
+        out_pages[i] = 1
+        out_us[i] = (time.perf_counter_ns() - t0) // 1000
+
+    pdf_idx = np.nonzero(kind_arr == "pdf_b64")[0]
+    # payload-level cache: fixture/bench tables reuse payloads heavily and
+    # real transcript tables repeat attachments too; documents are hashable
+    cache: dict[str, tuple] = {}
+    for i in pdf_idx:
+        t0 = time.perf_counter_ns()
+        key = vals[i]
+        hit = cache.get(key)
+        if hit is None:
+            hit = _extract_pdf_doc(key, cfg)
+            cache[key] = hit
+        text, spans, method, conf, n_pages, err = hit
+        out_text[i] = text
+        out_spans[i] = list(spans)
+        out_method[i] = method
+        out_conf[i] = conf
+        out_pages[i] = n_pages
+        out_err[i] = err
+        out_us[i] = (time.perf_counter_ns() - t0) // 1000
+
+    return pd.DataFrame({
+        "extracted_text": out_text,
+        "spans": out_spans,
+        "method": out_method,
+        "confidence": out_conf,
+        "n_pages": out_pages,
+        "error": out_err,
+        "elapsed_us": out_us,
+    }, index=texts.index)

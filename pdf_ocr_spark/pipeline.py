@@ -1,0 +1,205 @@
+"""The extraction pipeline: the engine's flagship Spark job.
+
+Logical plan (SURVEY.md §7):
+
+    transcripts
+      -> select(conv_id, turn_idx, text)                  # column pruning
+      -> bucket = pmod(xxhash64(conv_id, turn_idx/K), B)  # salted work unit
+      -> anti-join completed buckets from lineage         # checkpoint resume
+      -> repartition(P, bucket)                           # explicit shuffle
+      -> sortWithinPartitions(conv_id, turn_idx)          # stable ordering
+      -> mapInPandas(extract)                             # ALL heavy work
+      -> write parquet partitioned by bucket (dynamic overwrite = idempotent)
+      -> lineage append (status-last commit ordering)
+
+Scale notes (targets a 1000-executor cluster; local[32] only changes the
+master URL):
+  * the only shuffle is the single repartition by bucket; extraction is
+    embarrassingly parallel per turn, so no other exchange exists.
+  * skew: a conversation with 10^6 turns is split across buckets by the
+    turn_idx//K salt term; a single fat PDF is bounded by the Arrow batch
+    cap (arrow.maxRecordsPerBatch) so a batch holds at most that many
+    payloads.
+  * resume: the anti-join side is a set of bucket ids (<= num_buckets
+    values) — broadcast by construction, never a shuffle.
+  * lineage metrics are aggregated from the freshly written output's light
+    columns (bucket, n_pages, elapsed_us — parquet column pruning keeps
+    this scan tiny relative to extracted_text) AFTER the data write
+    commits, mirroring the reference's status-last meta ordering
+    (app/api/ocr.py:284-306). In production both tables are Iceberg and
+    the data write is overwritePartitions(); parquet dynamic partition
+    overwrite emulates exactly that here.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from .config import DEFAULT, EngineConfig
+
+OUTPUT_SCHEMA = StructType([
+    StructField("conv_id", StringType()),
+    StructField("turn_idx", IntegerType()),
+    StructField("extracted_text", StringType()),
+    StructField("spans", ArrayType(StructType([
+        StructField("start", IntegerType()),
+        StructField("end", IntegerType()),
+    ]))),
+    StructField("method", StringType()),
+    StructField("confidence", DoubleType()),
+    StructField("n_pages", IntegerType()),
+    StructField("error", StringType()),
+    StructField("elapsed_us", LongType()),
+    StructField("bucket", IntegerType()),
+])
+
+LINEAGE_SCHEMA = StructType([
+    StructField("run_id", StringType()),
+    StructField("input_snapshot_id", StringType()),
+    StructField("bucket", IntegerType()),
+    StructField("rows_in", LongType()),
+    StructField("rows_out", LongType()),
+    StructField("ocr_page_count", LongType()),
+    StructField("wall_time_s", DoubleType()),
+    StructField("status", StringType()),
+    StructField("updated_at", StringType()),
+])
+
+
+def _make_extract_udf(cfg: EngineConfig):
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .extract import extract_batch  # executor-side import
+        for pdf_batch in batches:
+            res = extract_batch(pdf_batch["text"], cfg)
+            res.insert(0, "turn_idx", pdf_batch["turn_idx"].values)
+            res.insert(0, "conv_id", pdf_batch["conv_id"].values)
+            res["bucket"] = pdf_batch["bucket"].values
+            yield res
+    return extract
+
+
+def with_bucket(df: DataFrame, num_buckets: int,
+                salt_turns: int) -> DataFrame:
+    """Deterministic work-unit id: hash(conv_id, turn_idx//K) mod B.
+
+    The salt term splits pathologically long conversations across buckets
+    while keeping any K consecutive turns of a conversation co-located."""
+    return df.withColumn(
+        "bucket",
+        F.pmod(
+            F.xxhash64(F.col("conv_id"),
+                       (F.col("turn_idx") / F.lit(salt_turns))
+                       .cast("long")),
+            F.lit(num_buckets),
+        ).cast("int"))
+
+
+def completed_buckets(spark: SparkSession, lineage_path: str,
+                      input_snapshot_id: str) -> set:
+    try:
+        lin = spark.read.parquet(lineage_path)
+    except Exception:
+        return set()
+    rows = (
+        lin.filter((F.col("status") == "completed")
+                   & (F.col("input_snapshot_id") == input_snapshot_id))
+        .select("bucket").distinct().collect())
+    return {r["bucket"] for r in rows}
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    lineage_path: str,
+    run_id: str | None = None,
+    input_snapshot_id: str | None = None,
+    cfg: EngineConfig = DEFAULT,
+    num_buckets: int | None = None,
+    num_partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run (or resume) the extraction job. Returns run metrics."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    input_snapshot_id = input_snapshot_id or input_path
+    num_buckets = num_buckets or cfg.num_buckets
+    num_partitions = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+
+    t0 = time.time()
+    src = spark.read.parquet(input_path)
+    # column pruning before the UDF: never ship role/tool/ts through Arrow
+    df = src.select("conv_id", "turn_idx", "text")
+    df = with_bucket(df, num_buckets, cfg.salt_turns_per_group)
+
+    done: set = set()
+    if resume:
+        done = completed_buckets(spark, lineage_path, input_snapshot_id)
+        if done:
+            df = df.filter(~F.col("bucket").isin(sorted(done)))
+
+    df = (
+        df.repartition(num_partitions, F.col("bucket"))
+        .sortWithinPartitions("conv_id", "turn_idx")
+    )
+    result = df.mapInPandas(_make_extract_udf(cfg), schema=OUTPUT_SCHEMA)
+
+    # data write first (idempotent per bucket via dynamic overwrite) ...
+    (result.write.mode("overwrite").partitionBy("bucket")
+     .parquet(output_path))
+    wall = time.time() - t0
+
+    # ... lineage commit second (status-last ordering). Light-column scan
+    # of only the buckets this run produced.
+    written = spark.read.parquet(output_path)
+    if done:
+        written = written.filter(~F.col("bucket").isin(sorted(done)))
+    now_iso = pd.Timestamp.now(tz="UTC").isoformat()
+    lineage = (
+        written.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.sum(F.when(F.col("method").isin("ocr", "extract"),
+                         F.col("n_pages")).otherwise(F.lit(0)))
+            .alias("ocr_page_count"),
+            (F.sum("elapsed_us") / 1e6).alias("wall_time_s"),
+        )
+        .withColumn("rows_in", F.col("rows_out"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("input_snapshot_id", F.lit(input_snapshot_id))
+        .withColumn("status", F.lit("completed"))
+        .withColumn("updated_at", F.lit(now_iso))
+        .select([f.name for f in LINEAGE_SCHEMA.fields])
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    n_out = written.count()
+    return {
+        "run_id": run_id,
+        "rows_out": n_out,
+        "skipped_buckets": len(done),
+        "wall_time_s": wall,
+        "turns_per_sec": n_out / wall if wall > 0 else 0.0,
+    }
+
+
+def history_listing(spark: SparkSession, lineage_path: str) -> DataFrame:
+    """Reference history listing analog (app/api/history.py:31-69):
+    latest status per bucket, newest first."""
+    lin = spark.read.parquet(lineage_path)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("bucket").orderBy(F.desc("updated_at"))
+    return (
+        lin.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1).drop("rn")
+        .orderBy(F.desc("updated_at"), "bucket")
+    )

@@ -1,0 +1,72 @@
+"""SparkSession construction with the engine's physical defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import DEFAULT
+
+
+def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
+                  shuffle_partitions: int | None = None,
+                  extra_conf: dict | None = None) -> SparkSession:
+    """local[N] session with the engine's tuned defaults.
+
+    On a real cluster the same config block ships via spark-submit --conf;
+    nothing here is local-mode-specific except the master URL.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cores)))
+    b = (
+        SparkSession.builder
+        .appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # fat base64 rows: bound Arrow batch memory (SURVEY §7 hard parts)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(DEFAULT.arrow_max_records_per_batch))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # parquet dynamic partition overwrite = Iceberg overwritePartitions
+        # stand-in for idempotent per-bucket resume
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def package_zip(out_dir: str | None = None) -> str:
+    """Zip the pdf_ocr_spark package for --py-files / addPyFile.
+
+    The same artifact a cluster deployment passes to
+    ``spark-submit --py-files`` (see jobs/run_extract.py)."""
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    out_dir = out_dir or tempfile.gettempdir()
+    zip_path = str(pathlib.Path(out_dir) / "pdf_ocr_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, "pdf_ocr_spark/" + str(py.relative_to(pkg_dir)))
+    return zip_path
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executors regardless of cwd —
+    the programmatic equivalent of spark-submit --py-files."""
+    spark.sparkContext.addPyFile(package_zip())
