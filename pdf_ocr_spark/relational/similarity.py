@@ -1,0 +1,168 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Brute-force cosine top-k is the baseline; random-hyperplane LSH bucketing is
+the scale path (bucket equi-join instead of a cross join); kNN label voting
+composes ranking windows on top. Dot products run JVM-side via
+zip_with/aggregate higher-order functions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .util import round6, LSH_PLANES, t
+
+_DOT_Q = ("aggregate(zip_with(embedding, q_emb, (x, y) -> "
+          "cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+_NORM = ("sqrt(aggregate(transform(embedding, x -> "
+         "cast(x as double) * cast(x as double)), 0D, (acc, v) -> acc + v))")
+_NORM_Q = ("sqrt(aggregate(transform(q_emb, x -> "
+           "cast(x as double) * cast(x as double)), 0D, "
+           "(acc, v) -> acc + v))")
+
+_SQL_DOT_Q = ("list_sum(list_transform(range(1, 65), i -> "
+              "embedding[i]::DOUBLE * q_emb[i]::DOUBLE))")
+_SQL_NORM = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
+             "embedding[i]::DOUBLE * embedding[i]::DOUBLE)))")
+_SQL_NORM_Q = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
+               "q_emb[i]::DOUBLE * q_emb[i]::DOUBLE)))")
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0 (broadcast the
+    1-row query side; the scan stays a single pass, no shuffle)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_emb"))
+    sim = (e.crossJoin(F.broadcast(q))
+           .withColumn("sim", F.expr(_DOT_Q) / (F.expr(_NORM)
+                                                * F.expr(_NORM_Q)))
+           .filter(F.col("vec_id") != 0))
+    return (sim.select("vec_id", "label", round6("sim").alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(10))
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       (floor(({_SQL_DOT_Q} / ({_SQL_NORM} * {_SQL_NORM_Q})) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def _bucket_expr_spark() -> F.Column:
+    total = F.lit(0)
+    for j, plane in enumerate(LSH_PLANES):
+        arr = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
+        dot = (f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
+               f"cast(x as double) * y), 0D, (acc, v) -> acc + v)")
+        total = total + F.when(F.expr(dot) >= 0, 1 << j).otherwise(0)
+    return total
+
+
+def _bucket_expr_sql() -> str:
+    parts = []
+    for j, plane in enumerate(LSH_PLANES):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = (f"list_sum(list_transform(range(1, 65), i -> "
+               f"embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))")
+        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(parts)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH: 8 sign bits -> 256 buckets. At scale the ANN
+    query becomes an equi-join on bucket (plus neighboring buckets) instead
+    of a cross join. Output: bucket histogram."""
+    e = t(spark, sf_dir, "embeddings")
+    return (e.withColumn("bucket", _bucket_expr_spark())
+            .groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+            .orderBy("bucket"))
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+SELECT {_bucket_expr_sql()} AS bucket, count(*) AS n_vectors
+FROM embeddings GROUP BY 1 ORDER BY bucket
+"""
+
+
+def q_knn_label_vote(spark, sf_dir):
+    """kNN classification: for query vectors 0-4, majority label among the
+    10 nearest (cosine) neighbors. Ranking window per query."""
+    e = t(spark, sf_dir, "embeddings")
+    q = (e.filter(F.col("vec_id") < 5)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    sim = (e.crossJoin(F.broadcast(q))
+           .filter(F.col("vec_id") != F.col("q_id"))
+           .withColumn("sim", F.expr(_DOT_Q) / (F.expr(_NORM)
+                                                * F.expr(_NORM_Q))))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), "vec_id")
+    top = sim.withColumn("rn", F.row_number().over(w)) \
+        .filter(F.col("rn") <= 10)
+    votes = top.groupBy("q_id", "label").agg(F.count("*").alias("n_votes"))
+    wv = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), "label")
+    return (votes.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("q_id", F.col("label").alias("predicted_label"),
+                    "n_votes")
+            .orderBy("q_id"))
+
+
+SQL_KNN_LABEL_VOTE = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+           WHERE vec_id < 5),
+sim AS (
+  SELECT q.q_id, e.vec_id, e.label,
+         {_SQL_DOT_Q} / ({_SQL_NORM} * {_SQL_NORM_Q}) AS sim
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id
+),
+top AS (
+  SELECT q_id, label FROM (
+    SELECT q_id, label,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id)
+             AS rn
+    FROM sim
+  ) WHERE rn <= 10
+),
+votes AS (SELECT q_id, label, count(*) AS n_votes FROM top
+          GROUP BY q_id, label)
+SELECT q_id, label AS predicted_label, n_votes FROM (
+  SELECT q_id, label, n_votes,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY n_votes DESC, label) AS rk
+  FROM votes
+) WHERE rk = 1 ORDER BY q_id
+"""
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-label vector statistics (norm distribution)."""
+    e = t(spark, sf_dir, "embeddings")
+    return (e.withColumn("norm", F.expr(_NORM))
+            .groupBy("label")
+            .agg(F.count("*").alias("n_vectors"),
+                 round6(F.avg("norm")).alias("avg_norm"),
+                 round6(F.min("norm")).alias("min_norm"),
+                 round6(F.max("norm")).alias("max_norm"))
+            .orderBy("label"))
+
+
+SQL_EMBEDDING_STATS = f"""
+SELECT label, count(*) AS n_vectors,
+       (floor((avg({_SQL_NORM})) * 1000000.0 + 0.5) / 1000000.0) AS avg_norm,
+       (floor((min({_SQL_NORM})) * 1000000.0 + 0.5) / 1000000.0) AS min_norm,
+       (floor((max({_SQL_NORM})) * 1000000.0 + 0.5) / 1000000.0) AS max_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+QUERIES = {
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
+    "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+}

@@ -1,0 +1,152 @@
+"""Text analysis operators for training-data pipelines (documents table).
+
+Language-ID heuristic, quality scoring, token counting (whitespace + BPE-ish
+regex), and winnowing-style document fingerprinting. All built-in-function
+queries — no UDFs — with DuckDB oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .util import round6, MOD, hash60_sql, t
+
+_STOPWORDS = ("a", "the", "of", "and", "in", "to")
+_SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic: predict 'en' when the
+    stopword-token share is >= 5%; report accuracy against the lang
+    column per source."""
+    d = t(spark, sf_dir, "documents")
+    ratio = F.expr(
+        f"size(filter(split(text, ' '), x -> x in ({_SW_LIST}))) "
+        f"/ cast(greatest(size(split(text, ' ')), 1) as double)")
+    scored = d.withColumn(
+        "predicted", F.when(ratio >= 0.05, "en").otherwise("und"))
+    return (scored.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count(F.when(F.col("predicted") == F.col("lang"), 1))
+                 .alias("n_correct"))
+            .orderBy("source"))
+
+
+SQL_LANG_ID = f"""
+SELECT source, count(*) AS n_docs,
+       count(*) FILTER (WHERE
+         CASE WHEN len(list_filter(string_split(text, ' '),
+                       x -> x IN ({_SW_LIST})))
+                   / greatest(len(string_split(text, ' ')), 1)::DOUBLE
+                   >= 0.05
+              THEN 'en' ELSE 'und' END = lang) AS n_correct
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: token count, mean token length,
+    punctuation ratio -> weighted score in [0, 1]."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), " "))
+    n_punct = F.expr(r"size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))")
+    avg_tok = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) \
+        / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(F.length("text"), F.lit(1))
+    score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+             + (1.0 - punct_ratio) * 0.3
+             + F.least(avg_tok / F.lit(8.0), F.lit(1.0)) * 0.2)
+    return (d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        round6(avg_tok).alias("avg_token_len"),
+        round6(punct_ratio).alias("punct_ratio"),
+        round6(score).alias("quality"))
+        .orderBy("doc_id"))
+
+
+SQL_QUALITY_SCORE = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+         length(replace(text, ' ', ''))
+           / greatest(len(string_split(trim(text), ' ')), 1)::DOUBLE
+           AS avg_tok,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       (floor((avg_tok) * 1000000.0 + 0.5) / 1000000.0) AS avg_token_len,
+       (floor((n_punct / greatest(n_chars, 1)::DOUBLE) * 1000000.0 + 0.5) / 1000000.0) AS punct_ratio,
+       (floor((least(n_tokens / 100.0, 1.0) * 0.5
+             + (1.0 - n_punct / greatest(n_chars, 1)::DOUBLE) * 0.3
+             + least(avg_tok / 8.0, 1.0) * 0.2) * 1000000.0 + 0.5) / 1000000.0) AS quality
+FROM m ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens and a BPE-ish regex tokenizer
+    (letter runs / digit runs / single punctuation), totals per source."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    # Spark SQL string literals eat single backslashes; DuckDB keeps them
+    spark_pat = _BPE_PATTERN.replace("\\", "\\\\")
+    bpe = F.expr(f"size(regexp_extract_all(text, '{spark_pat}', 0))")
+    return (d.groupBy("source")
+            .agg(F.sum(ws).alias("ws_tokens"),
+                 F.sum(bpe).alias("bpe_tokens"),
+                 round6(F.avg(ws)).alias("avg_ws_tokens"))
+            .orderBy("source"))
+
+
+SQL_TOKEN_COUNT = rf"""
+SELECT source,
+       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS bpe_tokens,
+       (floor((avg(len(regexp_split_to_array(trim(text), '\s+')))) * 1000000.0 + 0.5) / 1000000.0)
+         AS avg_ws_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: minimum portable hash over word 5-gram
+    shingles — robust to small edits, the join key for fingerprint-level
+    dedup."""
+    d = t(spark, sf_dir, "documents")
+    grams = (d.select("doc_id", F.split("text", " ").alias("w"))
+             .filter(F.size("w") >= 5)
+             .select("doc_id", F.explode(F.expr(
+                 "transform(sequence(1, size(w) - 4), g -> concat_ws(' ', "
+                 "element_at(w, g), element_at(w, g + 1), "
+                 "element_at(w, g + 2), element_at(w, g + 3), "
+                 "element_at(w, g + 4)))")).alias("s")))
+    h2 = (F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+          .cast("long") % MOD)
+    return (grams.groupBy("doc_id").agg(F.min(h2).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+         g -> w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3]
+              || ' ' || w[g+4])) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 5
+)
+SELECT doc_id, min({hash60_sql('s')} % {MOD}) AS fingerprint
+FROM grams GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+}

@@ -1,0 +1,78 @@
+"""Shared helpers for the relational layer.
+
+Portability contract with the DuckDB oracle:
+  * floats rounded to 6 decimals on both sides before output,
+  * timestamps emitted as ISO strings on both sides,
+  * no arrays/structs in outputs (stringified with stable delimiters),
+  * portable 60-bit string hash: int(md5(s)[0:15], 16) — Spark
+    ``conv(substring(md5(s),1,15),16,10)`` == DuckDB
+    ``('0x'||substr(md5(s),1,15))::UBIGINT::BIGINT`` (verified bit-equal),
+  * derived hashes stay in signed-64 range: h2 = h mod 1e9+7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+MOD = 1_000_000_007
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def round6(col) -> F.Column:
+    """Portable 6-decimal rounding: floor(x*1e6 + 0.5)/1e6. Engine round()
+    implementations disagree on exact .5 ties in double space (observed:
+    Spark HALF_UP vs DuckDB on 0.8178125); floor arithmetic is bit-identical
+    when both engines computed the same double."""
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.floor(col * 1000000.0 + 0.5) / 1000000.0
+
+
+def sql_round6(expr: str) -> str:
+    """DuckDB twin of round6."""
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
+
+def hash60(col: str) -> F.Column:
+    """Spark side of the portable md5 60-bit hash."""
+    return F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10) \
+        .cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB side of the portable md5 60-bit hash."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT)"
+
+
+def _lcg_floats(seed: int, n: int) -> list:
+    """Deterministic floats in [-1, 1) shared by Spark and SQL literals."""
+    out = []
+    x = (seed * 6364136223846793005 + 1442695040888963407) \
+        & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) \
+            & 0xFFFFFFFFFFFFFFFF
+        out.append(round((x >> 33) / float(1 << 31) * 2.0 - 1.0, 6))
+    return out
+
+
+def _lcg_ints(seed: int, n: int, lo: int, hi: int) -> list:
+    out = []
+    x = (seed * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) \
+            & 0xFFFFFFFFFFFFFFFF
+        out.append(lo + (x >> 33) % (hi - lo))
+    return out
+
+
+# MinHash: H independent hashes h_j(s) = (a_j * (hash60(s) % MOD) + b_j) % MOD
+MINHASH_N = 8
+MINHASH_A = _lcg_ints(101, MINHASH_N, 1, 2 ** 31)
+MINHASH_B = _lcg_ints(202, MINHASH_N, 0, 2 ** 31)
+
+# Random-hyperplane LSH for 64-dim embeddings: 8 planes -> 8-bit bucket
+LSH_PLANES = [_lcg_floats(1000 + j, 64) for j in range(8)]
