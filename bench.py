@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Headline = the flagship transcript-extraction pipeline (turns/sec) over the
+deterministic bench-tier fixture, plus the relational operator suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores (default 32)
+  BENCH_TURNS          bench fixture conversations (default 2000)
+  BENCH_QUERIES        comma list to restrict relational queries
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+HEADLINE_QUERIES = [
+    "pdf_type_classify", "detect_sampling", "page_assembly",
+    "mean_of_means", "reading_order", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "knn_label_vote", "token_count", "quality_score",
+    "doc_fingerprint",
+]
+
+
+def _bench_fixture(n_convs: int) -> str:
+    from pdf_ocr_spark.fixtures import generate_transcripts
+
+    cache = os.path.join(tempfile.gettempdir(), "pdf_ocr_spark_fixtures")
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"transcripts_bench_v2_{n_convs}.parquet")
+    if not os.path.exists(path):
+        generate_transcripts(path, tier="bench", n_convs=n_convs)
+    return path
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_convs = int(os.environ.get("BENCH_TURNS", "2000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
+        if "sf" in sf_dir else 0.0
+
+    from pdf_ocr_spark.pipeline import run_extraction
+    from pdf_ocr_spark.relational import all_queries
+    from pdf_ocr_spark.session import build_session
+
+    spark = build_session("pdf-ocr-spark-bench", cores=cpus,
+                          shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    # --- headline: extraction throughput -------------------------------
+    fixture = _bench_fixture(n_convs)
+    workdir = tempfile.mkdtemp(prefix="bench_extract_")
+    try:
+        t0 = time.time()
+        metrics = run_extraction(
+            spark, fixture, os.path.join(workdir, "out"),
+            os.path.join(workdir, "lineage"),
+            run_id="bench", num_buckets=max(64, cpus * 4),
+            num_partitions=cpus * 4, resume=False)
+        timings["extract_transcripts"] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    # --- relational suite ----------------------------------------------
+    wanted = os.environ.get("BENCH_QUERIES")
+    names = wanted.split(",") if wanted else HEADLINE_QUERIES
+    registry = all_queries()
+    for name in names:
+        fn = registry[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline wall time (extraction + relational suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extraction": {
+            "turns": metrics["rows_out"],
+            "wall_time_s": round(metrics["wall_time_s"], 3),
+            "turns_per_sec": round(metrics["turns_per_sec"], 1),
+            "cpus": cpus,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

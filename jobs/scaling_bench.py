@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (north rule).
+
+No real cluster exists in this sandbox, so per the driver's instruction the
+two-cluster-size criterion is evidenced by running the identical extraction
+job on the identical input at two local parallelism levels (N and 4N cores),
+keeping partitions-per-core constant, and reporting throughput at both plus
+scaling efficiency (T_4N / T_N) / 4. Each level runs in a fresh JVM
+(subprocess) so executor pools don't leak between measurements.
+
+Usage: python jobs/scaling_bench.py [--convs 2000] [--n 8] [--out BENCH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+_RUN_ONE = r"""
+import json, os, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pdf_ocr_spark.session import build_session
+from pdf_ocr_spark.pipeline import run_extraction
+
+cores = {cores}
+fixture = {fixture!r}
+spark = build_session("scaling-bench", cores=cores,
+                      shuffle_partitions=cores * 4)
+spark.sparkContext.setLogLevel("ERROR")
+workdir = tempfile.mkdtemp(prefix="scale_")
+try:
+    # warm the JVM/Python workers with a tiny job so the measured run is
+    # steady-state (the reference amortizes engine warmup the same way,
+    # SmartPDF-OCR app/ocr/engine.py:153-165)
+    spark.read.parquet(fixture).limit(64).count()
+    t0 = time.time()
+    m = run_extraction(
+        spark, fixture, os.path.join(workdir, "out"),
+        os.path.join(workdir, "lin"), run_id=f"scale-{{cores}}",
+        num_buckets=256, num_partitions=cores * 4, resume=False)
+    wall = time.time() - t0
+    print(json.dumps({{"cores": cores, "rows": m["rows_out"],
+                       "wall_s": wall,
+                       "turns_per_sec": m["rows_out"] / wall}}))
+finally:
+    shutil.rmtree(workdir, ignore_errors=True)
+    spark.stop()
+"""
+
+
+def run_level(repo: str, fixture: str, cores: int) -> dict:
+    code = _RUN_ONE.format(repo=repo, cores=cores, fixture=fixture)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=2000)
+    ap.add_argument("--n", type=int, default=8,
+                    help="small level N (large level is 4N)")
+    ap.add_argument("--out", default="BENCH")
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pdf_ocr_spark.fixtures import generate_transcripts
+
+    cache = os.path.join(tempfile.gettempdir(), "pdf_ocr_spark_fixtures")
+    os.makedirs(cache, exist_ok=True)
+    fixture = os.path.join(cache,
+                           f"transcripts_bench_v2_{args.convs}.parquet")
+    if not os.path.exists(fixture):
+        n = generate_transcripts(fixture, tier="bench", n_convs=args.convs)
+        print(f"generated bench fixture: {n} turns", file=sys.stderr)
+
+    small = run_level(repo, fixture, args.n)
+    large = run_level(repo, fixture, args.n * 4)
+    eff = (large["turns_per_sec"] / small["turns_per_sec"]) / 4.0
+
+    os.makedirs(os.path.join(repo, args.out), exist_ok=True)
+    md = os.path.join(repo, args.out, "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured scaling evidence
+
+Identical extraction job, identical input ({small['rows']} turns,
+deterministic bench-tier transcripts fixture, seed 42), two parallelism
+levels in fresh JVMs, partitions-per-core fixed at 4.
+
+| metric | local[{args.n}] (N) | local[{args.n * 4}] (4N) |
+|---|---|---|
+| wall time (s) | {small['wall_s']:.2f} | {large['wall_s']:.2f} |
+| throughput (turns/sec) | {small['turns_per_sec']:.1f} | \
+{large['turns_per_sec']:.1f} |
+
+**Scaling efficiency (T_4N / T_N) / 4 = {eff:.3f}** \
+(acceptance: >= 0.8, BASELINE.json north rule).
+
+Reproduce: `python jobs/scaling_bench.py --convs {args.convs} --n {args.n}`
+""")
+    print(json.dumps({"n": small, "four_n": large,
+                      "scaling_efficiency": round(eff, 4),
+                      "report": md}))
+
+
+if __name__ == "__main__":
+    main()

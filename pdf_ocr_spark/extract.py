@@ -34,6 +34,28 @@ RESULT_COLUMNS = [
     "elapsed_us",
 ]
 
+# Per-worker-process payload-dedup cache (identical attachments recur in
+# real transcript tables; the reference's task-id dedup has the same
+# purpose). Keyed by md5 of the payload; bounded FIFO. Python workers are
+# reused across batches, so this is the Spark analog of the reference's
+# process-level engine/result reuse.
+_PDF_CACHE: dict = {}
+_PDF_CACHE_MAX = 512
+
+
+def _pdf_cache_get(payload: str):
+    import hashlib
+    key = hashlib.md5(payload.encode()).digest()
+    return _PDF_CACHE.get(key)
+
+
+def _pdf_cache_put(payload: str, value) -> None:
+    import hashlib
+    key = hashlib.md5(payload.encode()).digest()
+    if len(_PDF_CACHE) >= _PDF_CACHE_MAX:
+        _PDF_CACHE.pop(next(iter(_PDF_CACHE)))
+    _PDF_CACHE[key] = value
+
 
 def _spans(paragraphs: list, sep_len: int = 2) -> list:
     out = []
@@ -134,6 +156,40 @@ def _extract_pdf_doc(text: str, cfg: EngineConfig) -> tuple:
             info.page_count, None)
 
 
+def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
+        -> pd.DataFrame:
+    """Extract a batch of *distinct PDF payloads* (the dedup-before-decode
+    pre-pass): one decode per unique payload cluster-wide. Returns the same
+    RESULT_COLUMNS frame as extract_batch."""
+    n = len(texts)
+    out = {c: np.empty(n, dtype=object) for c in
+           ("extracted_text", "spans", "method", "error")}
+    conf = np.zeros(n)
+    pages = np.zeros(n, dtype=np.int32)
+    us = np.zeros(n, dtype=np.int64)
+    vals = texts.to_numpy(dtype=object)
+    for i in range(n):
+        t0 = time.perf_counter_ns()
+        key = vals[i]
+        hit = _pdf_cache_get(key)
+        if hit is None:
+            hit = _extract_pdf_doc(key, cfg)
+            _pdf_cache_put(key, hit)
+        text, spans, method, c, n_pages, err = hit
+        out["extracted_text"][i] = text
+        out["spans"][i] = list(spans)
+        out["method"][i] = method
+        out["error"][i] = err
+        conf[i] = c
+        pages[i] = n_pages
+        us[i] = (time.perf_counter_ns() - t0) // 1000
+    return pd.DataFrame({
+        "extracted_text": out["extracted_text"], "spans": out["spans"],
+        "method": out["method"], "confidence": conf, "n_pages": pages,
+        "error": out["error"], "elapsed_us": us,
+    }, index=texts.index)
+
+
 def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
         -> pd.DataFrame:
     """Extract a batch of turn payloads -> result frame (RESULT_COLUMNS)."""
@@ -175,16 +231,13 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
         out_us[i] = (time.perf_counter_ns() - t0) // 1000
 
     pdf_idx = np.nonzero(kind_arr == "pdf_b64")[0]
-    # payload-level cache: fixture/bench tables reuse payloads heavily and
-    # real transcript tables repeat attachments too; documents are hashable
-    cache: dict[str, tuple] = {}
     for i in pdf_idx:
         t0 = time.perf_counter_ns()
         key = vals[i]
-        hit = cache.get(key)
+        hit = _pdf_cache_get(key)
         if hit is None:
             hit = _extract_pdf_doc(key, cfg)
-            cache[key] = hit
+            _pdf_cache_put(key, hit)
         text, spans, method, conf, n_pages, err = hit
         out_text[i] = text
         out_spans[i] = list(spans)

@@ -189,7 +189,10 @@ def generate_transcripts(out_path: str, tier: str = "unit",
                 add(c, t, _payload(rng, rng.random(), pool))
     elif tier == "bench":
         n_convs = n_convs or 2000
-        pool = _build_pool(rng, n_pdf=24, n_html=16, include_big=False)
+        # pool sized for ~10-100x payload reuse (realistic attachment
+        # duplication), so the dedup-before-decode pre-pass is exercised
+        # without trivializing decode work
+        pool = _build_pool(rng, n_pdf=192, n_html=64, include_big=False)
         for c in range(n_convs):
             n_turns = 500 if c == 13 else rng.randint(10, 40)
             for t in range(n_turns):

@@ -1,0 +1,117 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a metadata struct; decode,
+resize, feature-extract and frame-sample run as Arrow-batch functions over
+``mapInPandas``. Real codec libraries (Pillow/ffmpeg/opencv) are not in this
+container, so codec decode is STUBBED behind ``NotImplementedError`` while a
+deterministic raw format ("RAWG": header + uint8 grayscale) keeps the whole
+Spark plumbing — schema, batch shape, partitioning, UDF signatures — real
+and tested.
+
+Raw format: b"RAWG" + height:uint16be + width:uint16be + h*w gray bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),   # image/raw, image/png, ...
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_intensity", DoubleType()),
+    StructField("histogram8", ArrayType(DoubleType())),
+    StructField("thumb", BinaryType()),        # 8x8 RAWG thumbnail
+    StructField("error", StringType()),
+])
+
+
+def encode_rawg(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return b"RAWG" + struct.pack(">HH", h, w) + img.astype(np.uint8).tobytes()
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """Decode one payload to a grayscale uint8 array.
+
+    Only the deterministic raw format decodes here; real codecs raise —
+    swap this function for a Pillow/ffmpeg-backed one in production. The
+    UDF contains the per-payload error, so an unsupported codec yields an
+    error row, never a task failure."""
+    if media_type == "image/raw" and payload[:4] == b"RAWG":
+        h, w = struct.unpack(">HH", payload[4:8])
+        return np.frombuffer(payload[8:8 + h * w],
+                             dtype=np.uint8).reshape(h, w)
+    raise NotImplementedError(
+        f"codec for {media_type} not available in this environment")
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    ys = np.linspace(0, img.shape[0], out_h + 1).astype(int)
+    xs = np.linspace(0, img.shape[1], out_w + 1).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.uint8)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = img[ys[i]:max(ys[i + 1], ys[i] + 1),
+                        xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = int(round(float(block.mean())))
+    return out
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) \
+        -> Iterator[pd.DataFrame]:
+    for batch in batches:
+        rows = []
+        for _, r in batch.iterrows():
+            rec = {"media_id": r["media_id"],
+                   "media_type": r["media_type"],
+                   "width": r["width"], "height": r["height"],
+                   "mean_intensity": None, "histogram8": None,
+                   "thumb": None, "error": None}
+            try:
+                img = decode_media(r["payload"], r["media_type"])
+                hist = np.bincount(img.ravel() >> 5, minlength=8)
+                rec["mean_intensity"] = float(img.mean())
+                rec["histogram8"] = (hist / img.size).tolist()
+                rec["thumb"] = encode_rawg(resize_block_mean(img, 8, 8))
+            except NotImplementedError as e:
+                rec["error"] = str(e)
+            rows.append(rec)
+        yield pd.DataFrame(rows, columns=[f.name for f in
+                                          FEATURE_SCHEMA.fields])
+
+
+def extract_media_features(media_df: DataFrame) -> DataFrame:
+    """media table -> per-item features via Arrow batches.
+
+    Binary payloads are fat rows: callers should keep the Arrow batch cap
+    low (session default) and repartition by a hash of media_id so one
+    oversized partition can't stall a stage."""
+    return media_df.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_indices(n_frames: int, k: int) -> list:
+    """Deterministic frame sampling for video: k indices evenly spaced —
+    head/mid/tail flavored like the reference's page sampling
+    (pdf_detector.py:61-67)."""
+    if n_frames <= k:
+        return list(range(n_frames))
+    return sorted({round(i * (n_frames - 1) / (k - 1)) for i in range(k)})

@@ -38,7 +38,7 @@ def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
         # stand-in for idempotent per-bucket resume
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
