@@ -142,6 +142,8 @@ def _build_pool(rng: random.Random, n_pdf: int, n_html: int,
 
 def generate_transcripts(out_path: str, tier: str = "unit",
                          n_convs: int | None = None,
+                         n_pdf_pool: int | None = None,
+                         n_html_pool: int | None = None,
                          seed: int = 42) -> int:
     """Write the transcripts parquet; returns row count."""
     rng = random.Random(seed)
@@ -192,7 +194,8 @@ def generate_transcripts(out_path: str, tier: str = "unit",
         # pool sized for ~10-100x payload reuse (realistic attachment
         # duplication), so the dedup-before-decode pre-pass is exercised
         # without trivializing decode work
-        pool = _build_pool(rng, n_pdf=192, n_html=64, include_big=False)
+        pool = _build_pool(rng, n_pdf=n_pdf_pool or 192,
+                           n_html=n_html_pool or 64, include_big=False)
         for c in range(n_convs):
             n_turns = 500 if c == 13 else rng.randint(10, 40)
             for t in range(n_turns):

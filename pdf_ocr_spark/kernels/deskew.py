@@ -134,11 +134,17 @@ def rotate_image(img: np.ndarray, angle_deg: float,
     new_h = int(np.ceil(w * sin_a + h * cos_a))
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     ncy, ncx = (new_h - 1) / 2.0, (new_w - 1) / 2.0
-    yy, xx = np.mgrid[0:new_h, 0:new_w]
-    ys = (yy - ncy) * np.cos(t) - (xx - ncx) * np.sin(t) + cy
-    xs = (yy - ncy) * np.sin(t) + (xx - ncx) * np.cos(t) + cx
-    ysi = np.rint(ys).astype(int)
-    xsi = np.rint(xs).astype(int)
+    # float32 grids: half the DRAM traffic of float64 on page-sized images
+    yy = np.arange(new_h, dtype=np.float32)[:, None]
+    xx = np.arange(new_w, dtype=np.float32)[None, :]
+    cos_t = np.float32(np.cos(t))
+    sin_t = np.float32(np.sin(t))
+    ys = (yy - np.float32(ncy)) * cos_t - (xx - np.float32(ncx)) * sin_t \
+        + np.float32(cy)
+    xs = (yy - np.float32(ncy)) * sin_t + (xx - np.float32(ncx)) * cos_t \
+        + np.float32(cx)
+    ysi = np.rint(ys).astype(np.int32)
+    xsi = np.rint(xs).astype(np.int32)
     valid = (ysi >= 0) & (ysi < h) & (xsi >= 0) & (xsi < w)
     if img.ndim == 3:
         out = np.full((new_h, new_w, img.shape[2]), bg, dtype=img.dtype)

@@ -183,10 +183,13 @@ def run_extraction(
     light = df.filter(~is_pdf)
     pdf_turns = df.filter(is_pdf).withColumn("ph", F.md5("text"))
 
-    light_result = (
-        light.repartition(num_partitions, F.col("bucket"))
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .mapInPandas(_make_extract_udf(cfg), schema=OUTPUT_SCHEMA))
+    # light path extracts IN the scan partitions — extraction is
+    # row-independent, so shuffling raw html/plain text before the UDF
+    # buys nothing; the single post-union repartition below colocates
+    # buckets and restores deterministic ordering over the (much smaller)
+    # extracted output.
+    light_result = light.mapInPandas(_make_extract_udf(cfg),
+                                     schema=OUTPUT_SCHEMA)
 
     # Round-robin repartition, NOT hash(ph): a hash exchange on ph is
     # identical to the dropDuplicates exchange, so Spark eliminates it and
@@ -210,9 +213,11 @@ def run_extraction(
         .sortWithinPartitions("conv_id", "turn_idx"))
 
     # data write first (idempotent per bucket via dynamic overwrite) ...
+    t_write = time.time()
     (result.write.mode("overwrite").partitionBy("bucket")
      .parquet(output_path))
     wall = time.time() - t0
+    write_phase_s = time.time() - t_write
 
     # ... lineage commit second (status-last ordering, mirroring the
     # reference's meta-write-after-result ordering, api/ocr.py:284-306).
@@ -254,6 +259,8 @@ def run_extraction(
         "rows_out": n_out,
         "skipped_buckets": len(done),
         "wall_time_s": wall,
+        "write_phase_s": write_phase_s,
+        "bookkeeping_s": time.time() - t0 - wall,
         "turns_per_sec": n_out / wall if wall > 0 else 0.0,
     }
 

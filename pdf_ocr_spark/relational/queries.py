@@ -407,8 +407,87 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+# --- S7: page-separator assembly (exact reference template) -----------------
+def q_page_separator_assembly(spark, sf_dir):
+    """Reference S7 (txt_export.py:61-77): page separator
+    '\\n\\n--- 第 {page} 页 ---\\n\\n' (1-based) emitted only between
+    pages — per source, the first 3 docs as 'pages'."""
+    d = t(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("source").orderBy("doc_id")
+    rows = (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .withColumn("piece", F.concat(
+                F.when(F.col("rn") > 1,
+                       F.concat(F.lit("\n\n--- 第 "), F.col("rn"),
+                                F.lit(" 页 ---\n\n")))
+                .otherwise(F.lit("")),
+                F.substring("text", 1, 15))))
+    return (rows.groupBy("source")
+            .agg(F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(rn, piece))), x -> x.piece), '')")
+                .alias("txt_export"))
+            .orderBy("source"))
+
+
+SQL_PAGE_SEPARATOR_ASSEMBLY = """
+WITH rows_ AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         substr(text, 1, 15) AS snip
+  FROM documents
+)
+SELECT source,
+       string_agg(
+         CASE WHEN rn > 1
+              THEN e'\\n\\n--- 第 ' || rn || e' 页 ---\\n\\n' || snip
+              ELSE snip END, '' ORDER BY rn) AS txt_export
+FROM rows_ WHERE rn <= 3
+GROUP BY source ORDER BY source
+"""
+
+
+# --- P6: skip-OCR routing ----------------------------------------------------
+def q_skip_ocr_routing(spark, sf_dir):
+    """Reference P6 (api/ocr.py:205-226): per page, route to the cheap
+    extract path or the expensive OCR path — per order priority, how many
+    lines take each route and the expensive-path share."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    routed = li.withColumn(
+        "route", F.when(F.col("l_quantity") >= 25, "extract")
+        .otherwise("ocr"))
+    joined = routed.join(
+        F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+        routed.l_orderkey == o.o_orderkey)
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.when(F.col("route") == "extract", 1))
+                 .alias("n_extract"),
+                 F.count(F.when(F.col("route") == "ocr", 1))
+                 .alias("n_ocr"))
+            .withColumn("ocr_share",
+                        round6(F.col("n_ocr")
+                               / (F.col("n_ocr") + F.col("n_extract"))))
+            .orderBy("o_orderpriority"))
+
+
+SQL_SKIP_OCR_ROUTING = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE l_quantity >= 25) AS n_extract,
+       count(*) FILTER (WHERE l_quantity < 25) AS n_ocr,
+       (floor((count(*) FILTER (WHERE l_quantity < 25)::DOUBLE / count(*))
+              * 1000000.0 + 0.5) / 1000000.0) AS ocr_share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "pdf_type_classify": (q_pdf_type_classify, SQL_PDF_TYPE_CLASSIFY),
+    "page_separator_assembly": (q_page_separator_assembly,
+                                SQL_PAGE_SEPARATOR_ASSEMBLY),
+    "skip_ocr_routing": (q_skip_ocr_routing, SQL_SKIP_OCR_ROUTING),
     "detect_sampling": (q_detect_sampling, SQL_DETECT_SAMPLING),
     "validate_payloads": (q_validate_payloads, SQL_VALIDATE_PAYLOADS),
     "content_md5": (q_content_md5, SQL_CONTENT_MD5),
