@@ -33,10 +33,18 @@ spark = build_session("scaling-bench", cores=cores,
 spark.sparkContext.setLogLevel("ERROR")
 workdir = tempfile.mkdtemp(prefix="scale_")
 try:
-    # warm the JVM/Python workers with a tiny job so the measured run is
-    # steady-state (the reference amortizes engine warmup the same way,
+    # warm the JVM AND the Python worker pool (imports + engine build)
+    # with a tiny pass through the same UDF, so the measured run is
+    # steady-state (the reference amortizes model load the same way,
     # SmartPDF-OCR app/ocr/engine.py:153-165)
-    spark.read.parquet(fixture).limit(64).count()
+    from pdf_ocr_spark.pipeline import (_make_extract_udf, with_bucket,
+                                        OUTPUT_SCHEMA)
+    from pdf_ocr_spark.config import DEFAULT
+    warm = with_bucket(
+        spark.read.parquet(fixture).limit(256)
+        .select("conv_id", "turn_idx", "text"), 64, 64)
+    warm.repartition(cores * 4).mapInPandas(
+        _make_extract_udf(DEFAULT), schema=OUTPUT_SCHEMA).count()
     t0 = time.time()
     m = run_extraction(
         spark, fixture, os.path.join(workdir, "out"),
