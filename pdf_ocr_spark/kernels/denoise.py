@@ -48,8 +48,31 @@ def _sep_convolve(img: np.ndarray, k1d: np.ndarray) -> np.ndarray:
     return out2
 
 
+_BINOMIAL5 = np.array([1, 4, 6, 4, 1], dtype=np.uint16)  # == cv2 5-tap
+
+
+def _binomial5_blur(img: np.ndarray) -> np.ndarray:
+    """Exact cv2 GaussianBlur(img,(5,5),0) kernel ([1,4,6,4,1]/16 per
+    axis — OpenCV hardcodes the binomial for small ksize with sigma=0),
+    in uint16 fixed point: half the DRAM traffic of a float path, and the
+    decode stage is bandwidth-bound at high parallelism."""
+    k = 2
+    h, w = img.shape[:2]
+    pad = _reflect_pad(img, k).astype(np.uint16)
+    rows = np.zeros(
+        (h, w + 2 * k) + img.shape[2:], dtype=np.uint16)
+    for i, wgt in enumerate(_BINOMIAL5):
+        rows += wgt * pad[i:i + h]
+    out = np.zeros((h, w) + img.shape[2:], dtype=np.uint16)
+    for j, wgt in enumerate(_BINOMIAL5):
+        out += wgt * rows[:, j:j + w]
+    return ((out + 128) >> 8).astype(np.uint8)
+
+
 def gaussian_denoise(img: np.ndarray, ksize: int = 5) -> np.ndarray:
     """5x5 Gaussian blur (reference denoise.py:11-30)."""
+    if ksize == 5:
+        return _binomial5_blur(img)
     out = _sep_convolve(img, _gaussian_kernel1d(ksize))
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
