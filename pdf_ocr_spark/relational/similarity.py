@@ -160,8 +160,59 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: LSH bucket equi-join (the
+    scale path — candidate pairs only within a bucket, never the cross
+    join), then exact cosine >= 0.99 verification."""
+    e = t(spark, sf_dir, "embeddings")
+    b = e.withColumn("bucket", _bucket_expr_spark())
+    a1 = b.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"), "bucket")
+    a2 = b.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("q_emb"), "bucket")
+    dot = ("aggregate(zip_with(emb_a, q_emb, (x, y) -> "
+           "cast(x as double) * cast(y as double)), 0D, "
+           "(acc, v) -> acc + v)")
+    na = ("sqrt(aggregate(transform(emb_a, x -> cast(x as double) * "
+          "cast(x as double)), 0D, (acc, v) -> acc + v))")
+    pairs = (a1.join(a2, "bucket")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .withColumn("cosine", F.expr(dot) / (F.expr(na)
+                                                  * F.expr(_NORM_Q)))
+             .filter(F.col("cosine") >= 0.99))
+    return (pairs.select("vec_a", "vec_b",
+                         round6("cosine").alias("cosine"))
+            .orderBy("vec_a", "vec_b"))
+
+
+_SQL_DOT_AB = ("list_sum(list_transform(range(1, 65), i -> "
+               "emb_a[i]::DOUBLE * q_emb[i]::DOUBLE))")
+_SQL_NORM_A = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
+               "emb_a[i]::DOUBLE * emb_a[i]::DOUBLE)))")
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         x.embedding AS emb_a, y.embedding AS q_emb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT vec_a, vec_b,
+       (floor(({_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_Q}))
+              * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM pairs
+WHERE {_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) >= 0.99
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine,
+                               SQL_DEDUP_EMBEDDING_COSINE),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),

@@ -1,5 +1,8 @@
 """Structured Streaming surface for the extraction engine."""
 
-from .jobs import stream_extraction, stream_method_counts
+from .jobs import (
+    conversation_state_stats, stream_extraction, stream_method_counts,
+)
 
-__all__ = ["stream_extraction", "stream_method_counts"]
+__all__ = ["conversation_state_stats", "stream_extraction",
+           "stream_method_counts"]

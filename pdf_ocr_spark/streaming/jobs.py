@@ -53,6 +53,53 @@ def stream_extraction(
     return writer.start()
 
 
+def conversation_state_stats(
+    spark: SparkSession,
+    input_dir: str,
+):
+    """Custom stateful operator via applyInPandasWithState: per-conversation
+    running counters (turns seen, payload-kind counts, chars) maintained in
+    streaming state across micro-batches — the engine's analog of the
+    reference's in-memory task_status dict (api/ocr.py:23-24,76-83), but
+    durable and partitioned.
+
+    Returns the streaming DataFrame (conv_id, n_turns, n_pdf, n_html,
+    n_chars); caller attaches a sink.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("conv_id string, n_turns long, n_pdf long, n_html long, "
+                  "n_chars long")
+    state_schema = "n_turns long, n_pdf long, n_html long, n_chars long"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            n_turns, n_pdf, n_html, n_chars = state.get
+        else:
+            n_turns = n_pdf = n_html = n_chars = 0
+        for batch in pdfs:
+            texts = batch["text"]
+            n_turns += len(batch)
+            n_pdf += int(texts.str.startswith("JVBERi").sum())
+            heads = texts.str.lstrip().str.slice(0, 15).str.lower()
+            n_html += int((heads.str.startswith("<!doctype html")
+                           | heads.str.startswith("<html")).sum())
+            n_chars += int(texts.str.len().sum())
+        state.update((n_turns, n_pdf, n_html, n_chars))
+        yield pd.DataFrame([{
+            "conv_id": key[0], "n_turns": n_turns, "n_pdf": n_pdf,
+            "n_html": n_html, "n_chars": n_chars,
+        }])
+
+    src = (spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+           .select("conv_id", "text"))
+    return (src.groupBy("conv_id")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "update",
+                GroupStateTimeout.NoTimeout))
+
+
 def stream_method_counts(
     spark: SparkSession,
     input_dir: str,

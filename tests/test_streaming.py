@@ -5,7 +5,9 @@ import shutil
 
 import pytest
 
-from pdf_ocr_spark.streaming import stream_extraction, stream_method_counts
+from pdf_ocr_spark.streaming import (
+    conversation_state_stats, stream_extraction, stream_method_counts,
+)
 
 
 @pytest.fixture(scope="module")
@@ -40,6 +42,30 @@ def test_stream_extraction_matches_batch(spark, unit_transcripts,
                            available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_conversation_state_stats(spark, stream_dirs, unit_transcripts,
+                                  tmp_path_factory):
+    agg = conversation_state_stats(spark, stream_dirs["input"])
+    base = str(tmp_path_factory.mktemp("state"))
+    q = (agg.writeStream.format("memory").queryName("conv_state")
+         .outputMode("update")
+         .option("checkpointLocation", base + "/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["conv_id"]: r for r in
+            spark.sql("select * from conv_state").collect()}
+    import pyarrow.parquet as pq
+    import collections
+    expect = collections.Counter()
+    pdf_counts = collections.Counter()
+    for row in pq.read_table(unit_transcripts).to_pylist():
+        expect[row["conv_id"]] += 1
+        if row["text"].startswith("JVBERi"):
+            pdf_counts[row["conv_id"]] += 1
+    for conv, n in expect.items():
+        assert rows[conv]["n_turns"] == n, conv
+        assert rows[conv]["n_pdf"] == pdf_counts.get(conv, 0), conv
 
 
 def test_stream_method_counts(spark, stream_dirs, tmp_path_factory):
