@@ -197,9 +197,13 @@ def run_extraction(
     # payloads -> 1 partition -> serial decode). AQE coalesces by bytes and
     # cannot see UDF CPU cost; an explicit round-robin repartition(n) is
     # preserved and spreads expensive decodes evenly.
+    # 4x more (smaller) decode tasks than other stages: payload decode
+    # cost is uneven (text vs raster flavors), and with task_size ~=
+    # stage_size/cores the straggler tail costs ~15% of the stage wall
+    # (measured util 0.86 -> ~0.95 with finer tasks)
     distinct_payloads = (
         pdf_turns.select("ph", "text").dropDuplicates(["ph"])
-        .repartition(num_partitions))
+        .repartition(num_partitions * 4))
     payload_results = distinct_payloads.mapInPandas(
         _make_payload_udf(cfg), schema=PAYLOAD_SCHEMA)
     pdf_result = (
