@@ -1,0 +1,102 @@
+"""Direct unit tests for the preprocess kernels (SURVEY §2.3, I4-I8)."""
+
+import numpy as np
+import pytest
+
+from pdf_ocr_spark.kernels import (
+    binarize, denoise, deskew, detect_skew_angle, rotate_image,
+)
+from pdf_ocr_spark.kernels.binarize import otsu_threshold
+
+
+def _noisy_text_image(seed=0):
+    rng = np.random.RandomState(seed)
+    img = np.full((120, 200), 255, dtype=np.uint8)
+    for y in (30, 60, 90):
+        img[y:y + 8, 20:180] = 0  # text-like bars
+    idx = rng.choice(img.size, 60, replace=False)
+    img.flat[idx] = rng.choice([0, 255], 60)
+    return img
+
+
+@pytest.mark.parametrize("method", ["gaussian", "median", "bilateral",
+                                    "nlm"])
+def test_denoise_methods_shape_dtype(method):
+    img = _noisy_text_image()
+    out = denoise(img, method)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+
+def test_denoise_unknown_method():
+    with pytest.raises(ValueError):
+        denoise(_noisy_text_image(), "bogus")
+
+
+def test_gaussian_preserves_flat_regions():
+    img = np.full((50, 50), 200, dtype=np.uint8)
+    assert (denoise(img, "gaussian") == 200).all()
+
+
+def test_median_removes_salt_pepper():
+    img = np.full((50, 50), 255, dtype=np.uint8)
+    img[10, 10] = 0  # lone pepper pixel
+    assert denoise(img, "median")[10, 10] == 255
+
+
+@pytest.mark.parametrize("method", ["simple", "otsu", "adaptive",
+                                    "sauvola"])
+def test_binarize_methods_binary_output(method):
+    out = binarize(_noisy_text_image(), method)
+    assert set(np.unique(out)) <= {0, 255}
+
+
+def test_otsu_threshold_separates_bimodal():
+    img = np.concatenate([np.full(500, 30, np.uint8),
+                          np.full(500, 220, np.uint8)]).reshape(20, 50)
+    thr = otsu_threshold(img)
+    assert 30 <= thr < 220
+
+
+def test_rotate_expands_canvas():
+    img = np.zeros((100, 200), dtype=np.uint8)
+    out = rotate_image(img, 30.0)
+    # reference deskew.py:192-236: new dims fit the rotated rect
+    assert out.shape[0] >= 100 and out.shape[1] >= 200
+    assert out.shape[0] > 140  # 200*sin30 + 100*cos30 ~ 187
+
+
+def test_rotate_identity():
+    img = _noisy_text_image()
+    assert (rotate_image(img, 0.0) == img).all()
+
+
+def test_deskew_noop_below_tenth_degree():
+    img = _noisy_text_image()
+    out, angle = deskew(img, "projection")
+    assert angle == 0.0
+    assert out is img  # unchanged object, no-op path
+
+
+@pytest.mark.parametrize("true_angle", [2.0, -4.0])
+def test_projection_detects_skew(true_angle):
+    img = _noisy_text_image()
+    rot = rotate_image(img, true_angle)
+    detected = detect_skew_angle(rot, "projection")
+    assert abs(detected - true_angle) <= 0.75
+
+
+def test_skew_unknown_method():
+    with pytest.raises(ValueError):
+        detect_skew_angle(_noisy_text_image(), "bogus")
+
+
+def test_binomial5_matches_float_kernel_closely():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (64, 64), dtype=np.uint8)
+    from pdf_ocr_spark.kernels.denoise import (
+        _gaussian_kernel1d, _sep_convolve,
+    )
+    a = denoise(img, "gaussian").astype(int)
+    b = np.clip(np.rint(_sep_convolve(img, _gaussian_kernel1d(5))), 0,
+                255).astype(int)
+    assert np.abs(a - b).max() <= 6
