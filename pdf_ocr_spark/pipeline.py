@@ -269,6 +269,25 @@ def run_extraction(
     }
 
 
+def flag_repeated_turns(result: DataFrame,
+                        repeat_threshold: int = 3) -> DataFrame:
+    """Conversation-level boilerplate flag: the reference's repeated
+    header/footer heuristic (postprocess.py:315-359) lifted to turn
+    granularity — a turn whose extracted text recurs >= threshold times
+    within its conversation (repeated system banners, tool preambles) is
+    flagged for training-data filtering.
+
+    Scale shape: one window over (conv_id, text-hash) — co-partitioned
+    with the output's conv_id bucketing, so no extra shuffle when applied
+    before the final repartition."""
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("conv_id", F.md5("extracted_text"))
+    return result.withColumn(
+        "is_boilerplate_turn",
+        (F.count("*").over(w) >= repeat_threshold)
+        & (F.length("extracted_text") > 0))
+
+
 def history_listing(spark: SparkSession, lineage_path: str) -> DataFrame:
     """Reference history listing analog (app/api/history.py:31-69):
     latest status per bucket, newest first."""

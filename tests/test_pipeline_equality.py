@@ -114,6 +114,21 @@ def test_partial_resume(spark, unit_transcripts, tmp_path_factory):
     assert after.select("conv_id", "turn_idx").distinct().count() == total
 
 
+def test_flag_repeated_turns(spark):
+    from pdf_ocr_spark.pipeline import flag_repeated_turns
+    rows = [("c1", i, "Standard disclaimer") for i in range(3)] + \
+        [("c1", 3, "unique content"), ("c2", 0, "Standard disclaimer"),
+         ("c1", 4, "")]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, extracted_text string")
+    out = {(r["conv_id"], r["turn_idx"]): r["is_boilerplate_turn"]
+           for r in flag_repeated_turns(df, 3).collect()}
+    assert out[("c1", 0)] and out[("c1", 1)] and out[("c1", 2)]
+    assert not out[("c1", 3)]
+    assert not out[("c2", 0)]   # threshold is per conversation
+    assert not out[("c1", 4)]   # empty text never flagged
+
+
 def test_stable_ordering_within_partitions(spark, unit_transcripts,
                                            run_paths):
     """Determinism across runs: same input -> same per-row bytes regardless
