@@ -206,17 +206,23 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
     vals = texts.to_numpy(dtype=object)
     kind_arr = kinds.to_numpy()
 
-    # plain: vectorized passthrough
-    plain_idx = np.nonzero(kind_arr == "plain")[0]
-    for i in plain_idx:
+    # plain: fully bulk passthrough (no per-row loop)
+    plain_mask = kind_arr == "plain"
+    if plain_mask.any():
         t0 = time.perf_counter_ns()
-        t = vals[i]
-        out_text[i] = t
-        out_spans[i] = [{"start": 0, "end": len(t)}] if t else []
-        out_method[i] = "plain"
-        out_conf[i] = 1.0
-        out_pages[i] = 1
-        out_us[i] = (time.perf_counter_ns() - t0) // 1000
+        out_text[plain_mask] = vals[plain_mask]
+        spans_arr = np.empty(int(plain_mask.sum()), dtype=object)
+        spans_arr[:] = [
+            [{"start": 0, "end": len(t)}] if t else []
+            for t in vals[plain_mask]
+        ]
+        out_spans[plain_mask] = spans_arr
+        out_method[plain_mask] = "plain"
+        out_conf[plain_mask] = 1.0
+        out_pages[plain_mask] = 1
+        n_plain = int(plain_mask.sum())
+        out_us[plain_mask] = ((time.perf_counter_ns() - t0) // 1000) \
+            // n_plain
 
     for i in np.nonzero(kind_arr == "html")[0]:
         t0 = time.perf_counter_ns()

@@ -128,8 +128,19 @@ def with_bucket(df: DataFrame, num_buckets: int,
         ).cast("int"))
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence check (works for local/hdfs/s3 paths) — avoids
+    a logged AnalysisException on the expected first-run missing lineage."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def completed_buckets(spark: SparkSession, lineage_path: str,
                       input_snapshot_id: str) -> set:
+    if not _path_exists(spark, lineage_path):
+        return set()
     try:
         lin = spark.read.parquet(lineage_path)
     except Exception:

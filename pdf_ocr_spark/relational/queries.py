@@ -483,11 +483,81 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- sessionization (stateful-window depth for event streams) --------------
+def q_sessionize(spark, sf_dir):
+    """Sessionize user events with a 30-minute inactivity gap: lag ->
+    new-session flag -> running sum = session id (the scalable
+    sessionization pattern; one shuffle on user_id)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - \
+        F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count("*").alias("n_events"),
+                 (F.max(F.col("ts").cast("timestamp").cast("long"))
+                  - F.min(F.col("ts").cast("timestamp").cast("long")))
+                 .alias("duration_s"))
+            .orderBy("user_id", "session_seq"))
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING))::BIGINT
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT
+         AS duration_s
+FROM sess GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# --- top tokens (explode/frequency depth) -----------------------------------
+def q_top_tokens(spark, sf_dir):
+    """Corpus-level token frequency: explode words, count, top 20 by
+    (count desc, token) — partial aggregation combines map-side, only
+    token counts shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return (d.select(F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "token").limit(20))
+
+
+SQL_TOP_TOKENS = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+
+
 QUERIES = {
     "pdf_type_classify": (q_pdf_type_classify, SQL_PDF_TYPE_CLASSIFY),
     "page_separator_assembly": (q_page_separator_assembly,
                                 SQL_PAGE_SEPARATOR_ASSEMBLY),
     "skip_ocr_routing": (q_skip_ocr_routing, SQL_SKIP_OCR_ROUTING),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "top_tokens": (q_top_tokens, SQL_TOP_TOKENS),
     "detect_sampling": (q_detect_sampling, SQL_DETECT_SAMPLING),
     "validate_payloads": (q_validate_payloads, SQL_VALIDATE_PAYLOADS),
     "content_md5": (q_content_md5, SQL_CONTENT_MD5),
