@@ -85,3 +85,22 @@ def with_low_confidence_flag(df: DataFrame,
     """S10's confidence highlighting -> boolean column
     (config.py:66 threshold)."""
     return df.withColumn("low_confidence", F.col("confidence") < threshold)
+
+
+def assemble_conversations(result: DataFrame,
+                           sep: str = "\n\n") -> DataFrame:
+    """Training-data export: one row per conversation with all extracted
+    turn texts joined in turn order (the conversation-level analog of the
+    page assembly L7). JVM-only: sort_array over collected structs — no
+    UDF, one shuffle on conv_id."""
+    return (result
+            .groupBy("conv_id")
+            .agg(
+                F.expr(
+                    "array_join(transform(array_sort(collect_list("
+                    "struct(turn_idx, extracted_text))), "
+                    f"x -> x.extracted_text), '{sep}')"
+                ).alias("conversation_text"),
+                F.count("*").alias("n_turns"),
+                F.sum(F.when(F.col("method") == "error", 1).otherwise(0))
+                .alias("n_errors")))

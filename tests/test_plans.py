@@ -1,0 +1,54 @@
+"""Physical-plan regression locks: the optimizations the engine depends on
+must stay in the plan (pushdown, broadcast, top-k) — a refactor that
+silently drops one should fail here, not in production."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + \
+        df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_light_path_pushes_route_predicate(spark, unit_transcripts):
+    from pdf_ocr_spark.pipeline import (OUTPUT_SCHEMA, _make_extract_udf,
+                                        with_bucket)
+    from pdf_ocr_spark.config import DEFAULT
+    df = spark.read.parquet(unit_transcripts) \
+        .select("conv_id", "turn_idx", "text")
+    df = with_bucket(df, 64, 64)
+    light = df.filter(~F.col("text").startswith("JVBERi")) \
+        .mapInPandas(_make_extract_udf(DEFAULT), schema=OUTPUT_SCHEMA)
+    plan = _plan(light)
+    assert "PushedFilters" in plan
+    assert "StringStartsWith(text,JVBERi)" in plan
+    # column pruning: scan must not read role/tool/ts
+    assert "ReadSchema: struct<conv_id:string,turn_idx:int,text:string>" \
+        in plan
+
+
+def test_mean_of_means_broadcasts_dim(spark):
+    from pdf_ocr_spark.relational.queries import q_mean_of_means
+    plan = _plan(q_mean_of_means(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_topk_uses_take_ordered(spark):
+    from pdf_ocr_spark.relational.similarity import q_ann_cosine_topk
+    plan = _plan(q_ann_cosine_topk(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_assemble_conversations(spark):
+    from pdf_ocr_spark.export import assemble_conversations
+    df = spark.createDataFrame(
+        [("c1", 1, "beta", "plain"), ("c1", 0, "alpha", "plain"),
+         ("c2", 0, "", "error")],
+        "conv_id string, turn_idx int, extracted_text string, "
+        "method string")
+    rows = {r["conv_id"]: r
+            for r in assemble_conversations(df).collect()}
+    assert rows["c1"]["conversation_text"] == "alpha\n\nbeta"
+    assert rows["c1"]["n_turns"] == 2 and rows["c1"]["n_errors"] == 0
+    assert rows["c2"]["n_errors"] == 1
