@@ -1,0 +1,47 @@
+"""Table IO abstraction: Iceberg catalog tables in production, parquet
+paths in this sandbox (no Iceberg runtime jar is available here).
+
+A target is treated as a catalog table identifier when it has no path
+separator (e.g. ``lake.transcripts_out``) and as a filesystem path
+otherwise. The pipeline's idempotent-resume semantics map as:
+
+  parquet path: write.mode("overwrite").partitionBy("bucket") with
+      spark.sql.sources.partitionOverwriteMode=dynamic
+  Iceberg table: writeTo(t).overwritePartitions() — the exact semantic
+      this emulates (only the buckets present in the run are replaced;
+      a crashed run's partial files are invisible until commit, which is
+      strictly stronger than the parquet emulation)
+
+Append (lineage) maps to write.mode("append") / writeTo(t).append().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def is_table_identifier(target: str) -> bool:
+    return "/" not in target and "\\" not in target and \
+        not target.startswith(("file:", "hdfs:", "s3:", "s3a:"))
+
+
+def load_table(spark: SparkSession, target: str) -> DataFrame:
+    if is_table_identifier(target):
+        return spark.read.table(target)
+    return spark.read.parquet(target)
+
+
+def overwrite_partitions(df: DataFrame, target: str,
+                         partition_col: str = "bucket") -> None:
+    if is_table_identifier(target):
+        df.writeTo(target).overwritePartitions()
+    else:
+        df.write.mode("overwrite").partitionBy(partition_col) \
+            .parquet(target)
+
+
+def append(df: DataFrame, target: str) -> None:
+    if is_table_identifier(target):
+        df.writeTo(target).append()
+    else:
+        df.write.mode("append").parquet(target)

@@ -139,10 +139,12 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
 
 def completed_buckets(spark: SparkSession, lineage_path: str,
                       input_snapshot_id: str) -> set:
-    if not _path_exists(spark, lineage_path):
+    from .catalog import is_table_identifier, load_table
+    if not is_table_identifier(lineage_path) and \
+            not _path_exists(spark, lineage_path):
         return set()
     try:
-        lin = spark.read.parquet(lineage_path)
+        lin = load_table(spark, lineage_path)
     except Exception:
         return set()
     rows = (
@@ -171,8 +173,11 @@ def run_extraction(
     num_partitions = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions"))
 
+    from .catalog import append as cat_append, load_table, \
+        overwrite_partitions
+
     t0 = time.time()
-    src = spark.read.parquet(input_path)
+    src = load_table(spark, input_path)
     # column pruning before the UDF: never ship role/tool/ts through Arrow
     df = src.select("conv_id", "turn_idx", "text")
     df = with_bucket(df, num_buckets, cfg.salt_turns_per_group)
@@ -227,10 +232,10 @@ def run_extraction(
         .repartition(num_partitions, F.col("bucket"))
         .sortWithinPartitions("conv_id", "turn_idx"))
 
-    # data write first (idempotent per bucket via dynamic overwrite) ...
+    # data write first (idempotent per bucket: Iceberg overwritePartitions
+    # or parquet dynamic partition overwrite — catalog.py) ...
     t_write = time.time()
-    (result.write.mode("overwrite").partitionBy("bucket")
-     .parquet(output_path))
+    overwrite_partitions(result, output_path, "bucket")
     wall = time.time() - t0
     write_phase_s = time.time() - t_write
 
@@ -238,7 +243,7 @@ def run_extraction(
     # reference's meta-write-after-result ordering, api/ocr.py:284-306).
     # Aggregates the light columns of the freshly written buckets — parquet
     # column pruning keeps this scan tiny relative to extracted_text.
-    written = spark.read.parquet(output_path)
+    written = load_table(spark, output_path)
     if done:
         written = written.filter(~F.col("bucket").isin(sorted(done)))
     now_iso = pd.Timestamp.now(tz="UTC").isoformat()
@@ -260,12 +265,12 @@ def run_extraction(
         .withColumn("updated_at", F.lit(now_iso))
         .select([f.name for f in LINEAGE_SCHEMA.fields])
     )
-    lineage.write.mode("append").parquet(lineage_path)
+    cat_append(lineage, lineage_path)
 
     # metrics from the (tiny) lineage table, not a rescan of the output
     n_out = sum(
         r["rows_out"] for r in
-        spark.read.parquet(lineage_path)
+        load_table(spark, lineage_path)
         .filter((F.col("run_id") == run_id)
                 & (F.col("input_snapshot_id") == input_snapshot_id))
         .select("rows_out").collect())
@@ -302,7 +307,8 @@ def flag_repeated_turns(result: DataFrame,
 def history_listing(spark: SparkSession, lineage_path: str) -> DataFrame:
     """Reference history listing analog (app/api/history.py:31-69):
     latest status per bucket, newest first."""
-    lin = spark.read.parquet(lineage_path)
+    from .catalog import load_table
+    lin = load_table(spark, lineage_path)
     from pyspark.sql.window import Window
     w = Window.partitionBy("bucket").orderBy(F.desc("updated_at"))
     return (
