@@ -89,6 +89,74 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: vectors 0-15 act as the (deterministically
+    'trained') coarse centroids; every vector is assigned to its
+    max-dot-product cell; the query (vec_id 0) probes only its own cell
+    and ranks candidates by exact cosine (top 5).
+
+    Scale shape: assignment is a broadcast join against 16 centroids +
+    a rank window; the probe is a cell equi-join — the cross join touches
+    N*16 rows once, search touches one cell."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = (e.filter(F.col("vec_id") < 16)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("q_emb")))
+    dots = (e.crossJoin(F.broadcast(cents))
+            .withColumn("dot", F.expr(_DOT_Q)))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cent_id")
+    assigned = (dots.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "label", "embedding", "cent_id"))
+    q_cell = assigned.filter(F.col("vec_id") == 0) \
+        .select(F.col("cent_id").alias("qc"),
+                F.col("embedding").alias("q_emb"))
+    cand = (assigned.join(F.broadcast(q_cell),
+                          assigned.cent_id == q_cell.qc)
+            .filter(F.col("vec_id") != 0)
+            .withColumn("cosine", F.expr(_DOT_Q)
+                        / (F.expr(_NORM) * F.expr(_NORM_Q))))
+    return (cand.select("vec_id", "label",
+                        round6("cosine").alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(5))
+
+
+SQL_ANN_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < 16
+),
+dots AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+         {_SQL_DOT_Q} AS dot
+  FROM embeddings e, cents c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, cent_id FROM (
+    SELECT vec_id, label, embedding, cent_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cent_id) AS rn
+    FROM dots
+  ) WHERE rn = 1
+),
+q_cell AS (
+  SELECT cent_id AS qc, embedding AS q_emb FROM assigned WHERE vec_id = 0
+)
+SELECT a.vec_id, a.label,
+       (floor((
+          list_sum(list_transform(range(1, 65), i ->
+            a.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE))
+          / (sqrt(list_sum(list_transform(range(1, 65), i ->
+               a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)))
+             * sqrt(list_sum(list_transform(range(1, 65), i ->
+                 q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))))
+        ) * 1000000.0 + 0.5) / 1000000.0) AS cosine
+FROM assigned a JOIN q_cell q ON a.cent_id = q.qc
+WHERE a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id LIMIT 5
+"""
+
+
 def q_knn_label_vote(spark, sf_dir):
     """kNN classification: for query vectors 0-4, majority label among the
     10 nearest (cosine) neighbors. Ranking window per query."""
@@ -213,6 +281,7 @@ QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                SQL_DEDUP_EMBEDDING_COSINE),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "ann_lsh_buckets": (q_ann_lsh_buckets, SQL_ANN_LSH_BUCKETS),
     "knn_label_vote": (q_knn_label_vote, SQL_KNN_LABEL_VOTE),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
