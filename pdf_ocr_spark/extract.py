@@ -84,8 +84,17 @@ def _extract_pdf_doc(text: str, cfg: EngineConfig) -> tuple:
 
     Orchestration mirrors the reference task loop (api/ocr.py:68-318) with
     the vectorized layout core; see oracle._extract_pdf for the loop-style
-    twin and the inline citations.
+    twin and the inline citations. Document-level containment mirrors the
+    reference's task-level try/except (api/ocr.py:308-318): a corrupt
+    payload yields an error row, never a task failure.
     """
+    try:
+        return _extract_pdf_doc_inner(text, cfg)
+    except Exception as e:
+        return "", [], "error", 0.0, 0, f"{type(e).__name__}: {e}"
+
+
+def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
     try:
         pdf = MiniPdf(decode_pdf_payload(text))
     except ValueError as e:

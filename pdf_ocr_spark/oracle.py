@@ -242,13 +242,20 @@ def extract_turn(text: str, cfg: EngineConfig = DEFAULT,
         spans = [(0, len(text))] if text else []
         return TurnResult(extracted_text=text, spans=spans, method="plain",
                           confidence=1.0, n_pages=1)
+    # document-level containment mirrors the reference task-level
+    # try/except (api/ocr.py:308-318)
     try:
-        data = decode_pdf_payload(text)
-        pdf = MiniPdf(data)
-    except ValueError as e:
+        try:
+            data = decode_pdf_payload(text)
+            pdf = MiniPdf(data)
+        except ValueError as e:
+            return TurnResult(extracted_text="", spans=[], method="error",
+                              confidence=0.0, n_pages=0, error=str(e))
+        return _extract_pdf(pdf, cfg, dpi)
+    except Exception as e:
         return TurnResult(extracted_text="", spans=[], method="error",
-                          confidence=0.0, n_pages=0, error=str(e))
-    return _extract_pdf(pdf, cfg, dpi)
+                          confidence=0.0, n_pages=0,
+                          error=f"{type(e).__name__}: {e}")
 
 
 def _extract_pdf(pdf: MiniPdf, cfg: EngineConfig,

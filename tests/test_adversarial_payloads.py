@@ -1,0 +1,99 @@
+"""Error containment for adversarial/corrupt payloads: every malformed
+input must yield an error ROW (on both implementations identically), never
+an exception that would kill a Spark task."""
+
+import base64
+import zlib
+
+import pytest
+
+from pdf_ocr_spark import oracle
+from pdf_ocr_spark.extract import _extract_pdf_doc
+from pdf_ocr_spark.config import DEFAULT
+from pdf_ocr_spark.minipdf import ImagePage, ScanLine, build_pdf
+
+
+def _b64(data: bytes) -> str:
+    return base64.b64encode(data).decode()
+
+
+ADVERSARIAL = [
+    # %PDF magic, garbage body
+    _b64(b"%PDF-1.4\ngarbage garbage"),
+    # valid header, truncated mid-object
+    _b64(b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog"),
+    # stream with /Length lying past EOF
+    _b64(b"%PDF-1.4\n1 0 obj\n<< /Length 99999 >>\nstream\nxx\nendstream"),
+    # valid structure but corrupted Flate image bytes
+    None,  # filled below
+    # no pages object
+    _b64(b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"),
+]
+
+
+def _corrupt_flate_payload() -> str:
+    data = bytearray(build_pdf([ImagePage(
+        lines=[ScanLine(x=20, y=40, size=12, text="ok")])]))
+    # corrupt bytes inside the Flate stream
+    at = bytes(data).index(b"stream\n") + 10
+    for i in range(at, at + 16):
+        data[i] ^= 0xFF
+    return _b64(bytes(data))
+
+
+ADVERSARIAL[3] = _corrupt_flate_payload()
+
+
+@pytest.mark.parametrize("payload", ADVERSARIAL)
+def test_both_sides_contain_and_agree(payload):
+    r = oracle.extract_turn(payload)
+    text, spans, method, conf, n_pages, err = _extract_pdf_doc(
+        payload, DEFAULT)
+    # contained: no exception, both error rows (or both succeed if the
+    # parser tolerates the corruption), and byte-identical either way
+    assert r.extracted_text == text
+    assert r.method == method
+    if method == "error":
+        assert err and r.error
+        assert conf == 0.0 and r.confidence == 0.0
+
+
+def test_zlib_error_is_contained():
+    # direct check that the corrupted Flate payload doesn't raise
+    payload = _corrupt_flate_payload()
+    text, spans, method, conf, n_pages, err = _extract_pdf_doc(
+        payload, DEFAULT)
+    assert method == "error"
+    assert "Error" in err or "error" in err
+
+
+def test_adversarial_through_spark(spark, tmp_path):
+    """The full pipeline survives a table of only corrupt payloads."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+    rows = {
+        "conv_id": [f"adv-{i}" for i in range(len(ADVERSARIAL))],
+        "turn_idx": list(range(len(ADVERSARIAL))),
+        "role": ["user"] * len(ADVERSARIAL),
+        "text": ADVERSARIAL,
+        "tool": [""] * len(ADVERSARIAL),
+        "ts": [datetime(2026, 1, 1)] * len(ADVERSARIAL),
+    }
+    path = str(tmp_path / "adv.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(rows["conv_id"]),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "role": pa.array(rows["role"]),
+        "text": pa.array(rows["text"]),
+        "tool": pa.array(rows["tool"]),
+        "ts": pa.array(rows["ts"], pa.timestamp("us")),
+    }), path)
+    from pdf_ocr_spark.pipeline import run_extraction
+    m = run_extraction(spark, path, str(tmp_path / "out"),
+                       str(tmp_path / "lin"), run_id="adv",
+                       num_buckets=4, num_partitions=4, resume=False)
+    assert m["rows_out"] == len(ADVERSARIAL)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert all(r["error"] is not None or r["extracted_text"] != ""
+               or r["method"] == "error" for r in out)
