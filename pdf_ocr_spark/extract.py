@@ -235,13 +235,20 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
 
     for i in np.nonzero(kind_arr == "html")[0]:
         t0 = time.perf_counter_ns()
-        blocks = extract_html_blocks(
-            vals[i], strip_tags=cfg.html_strip_tags,
-            repeat_threshold=cfg.html_repeat_threshold)
-        out_text[i] = "\n\n".join(blocks)
-        out_spans[i] = _spans(blocks)
-        out_method[i] = "html"
-        out_conf[i] = 1.0
+        try:
+            blocks = extract_html_blocks(
+                vals[i], strip_tags=cfg.html_strip_tags,
+                repeat_threshold=cfg.html_repeat_threshold)
+            out_text[i] = "\n\n".join(blocks)
+            out_spans[i] = _spans(blocks)
+            out_method[i] = "html"
+            out_conf[i] = 1.0
+        except Exception as e:  # parser pathology -> error row, not a
+            out_text[i] = ""    # task failure (reference C6 containment)
+            out_spans[i] = []
+            out_method[i] = "error"
+            out_conf[i] = 0.0
+            out_err[i] = f"{type(e).__name__}: {e}"
         out_pages[i] = 1
         out_us[i] = (time.perf_counter_ns() - t0) // 1000
 

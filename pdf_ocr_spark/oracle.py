@@ -231,9 +231,14 @@ def extract_turn(text: str, cfg: EngineConfig = DEFAULT,
     """Extract one turn payload with reference semantics."""
     kind = detect_payload_kind(text)
     if kind == KIND_HTML:
-        blocks = extract_html_blocks(
-            text, strip_tags=cfg.html_strip_tags,
-            repeat_threshold=cfg.html_repeat_threshold)
+        try:
+            blocks = extract_html_blocks(
+                text, strip_tags=cfg.html_strip_tags,
+                repeat_threshold=cfg.html_repeat_threshold)
+        except Exception as e:
+            return TurnResult(extracted_text="", spans=[], method="error",
+                              confidence=0.0, n_pages=1,
+                              error=f"{type(e).__name__}: {e}")
         return TurnResult(
             extracted_text="\n\n".join(blocks),
             spans=_spans_for(blocks), method="html", confidence=1.0,
