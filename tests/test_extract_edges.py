@@ -1,0 +1,64 @@
+"""Edge cases of the batch extraction surface: empty/homogeneous batches,
+Unicode span arithmetic."""
+
+import pandas as pd
+
+from pdf_ocr_spark import oracle
+from pdf_ocr_spark.extract import extract_batch, route_kinds
+
+
+def test_empty_batch():
+    out = extract_batch(pd.Series([], dtype=object))
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "extracted_text", "spans", "method", "confidence", "n_pages",
+        "error", "elapsed_us"]
+
+
+def test_homogeneous_batches():
+    plain = extract_batch(pd.Series(["a", "b"]))
+    assert list(plain["method"]) == ["plain", "plain"]
+    html = extract_batch(pd.Series(
+        ["<html><body><p>x</p></body></html>"] * 2))
+    assert list(html["method"]) == ["html", "html"]
+
+
+def test_route_kinds_whitespace_pdf_prefix_is_plain():
+    # base64 payloads never carry leading whitespace in this schema; a
+    # whitespace-prefixed JVBERi routes to plain on BOTH sides
+    s = "  JVBERi0xLjQ="
+    assert route_kinds(pd.Series([s]))[0] == "plain"
+    assert oracle.extract_turn(s).method == "plain"
+
+
+def test_unicode_spans_plain():
+    text = "héllo 🌍 世界"
+    out = extract_batch(pd.Series([text]))
+    span = out["spans"][0][0]
+    assert text[span["start"]:span["end"]] == text
+    r = oracle.extract_turn(text)
+    assert r.spans == [(0, len(text))]
+
+
+def test_unicode_spans_html():
+    html = "<html><body><p>héllo 🌍</p><p>世界 text</p></body></html>"
+    out = extract_batch(pd.Series([html]))
+    text = out["extracted_text"][0]
+    spans = out["spans"][0]
+    assert text[spans[0]["start"]:spans[0]["end"]] == "héllo 🌍"
+    assert text[spans[1]["start"]:spans[1]["end"]] == "世界 text"
+    r = oracle.extract_turn(html)
+    assert r.extracted_text == text
+    assert [(s["start"], s["end"]) for s in spans] == r.spans
+
+
+def test_spark_substring_agrees_with_python_spans(spark):
+    """Spans are Python code-point offsets; Spark's substring must slice
+    the same characters (it is code-point based too) — guards the
+    export-layer span consumers against encoding-unit drift."""
+    from pyspark.sql import functions as F
+    text = "héllo 🌍 世界"
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(
+        F.substring("t", 7, 1).alias("g")).collect()[0]["g"]
+    assert got == text[6:7] == "🌍"
