@@ -36,7 +36,12 @@ def overwrite_partitions(df: DataFrame, target: str,
     if is_table_identifier(target):
         df.writeTo(target).overwritePartitions()
     else:
-        df.write.mode("overwrite").partitionBy(partition_col) \
+        # Per-write option, NOT session conf: run_extraction accepts any
+        # user-supplied SparkSession, and with the Spark default (static)
+        # mode this write would truncate the whole table — deleting
+        # previously completed buckets that lineage still marks done.
+        df.write.option("partitionOverwriteMode", "dynamic") \
+            .mode("overwrite").partitionBy(partition_col) \
             .parquet(target)
 
 

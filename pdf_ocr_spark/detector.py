@@ -22,11 +22,14 @@ from .minipdf import MiniPdf
 KIND_PDF = "pdf_b64"
 KIND_HTML = "html"
 KIND_PLAIN = "plain"
+KIND_NULL = "null"
 
 _PDF_B64_PREFIX = "JVBERi"  # base64 of "%PDF"
 
 
-def detect_payload_kind(text: str) -> str:
+def detect_payload_kind(text: str | None) -> str:
+    if text is None:
+        return KIND_NULL
     if text.startswith(_PDF_B64_PREFIX):
         return KIND_PDF
     head = text.lstrip()[:15].lower()

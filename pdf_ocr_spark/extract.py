@@ -69,13 +69,20 @@ def _spans(paragraphs: list, sep_len: int = 2) -> list:
 
 
 def route_kinds(texts: pd.Series) -> pd.Series:
-    """Vectorized payload routing (cheap prefix tests, no decode)."""
-    is_pdf = texts.str.startswith(_PDF_PREFIX)
-    head = texts.str.lstrip().str.slice(0, 15).str.lower()
-    is_html = head.str.startswith("<!doctype html") | \
-        head.str.startswith("<html")
+    """Vectorized payload routing (cheap prefix tests, no decode).
+
+    NULL/NaN payloads route to kind "null" (-> explicit error rows); the
+    prefix tests run on a ''-filled copy so the boolean masks stay boolean.
+    """
+    is_null = texts.isna().to_numpy()
+    filled = texts.fillna("")
+    is_pdf = filled.str.startswith(_PDF_PREFIX).to_numpy()
+    head = filled.str.lstrip().str.slice(0, 15).str.lower()
+    is_html = (head.str.startswith("<!doctype html") |
+               head.str.startswith("<html")).to_numpy()
     return pd.Series(
-        np.select([is_pdf, is_html], ["pdf_b64", "html"], default="plain"),
+        np.select([is_null, is_pdf, is_html], ["null", "pdf_b64", "html"],
+                  default="plain"),
         index=texts.index)
 
 
@@ -214,6 +221,17 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
 
     vals = texts.to_numpy(dtype=object)
     kind_arr = kinds.to_numpy()
+
+    # null: explicit error rows, never silently dropped (lineage
+    # rows_in/rows_out must balance — ADVICE r1)
+    null_mask = kind_arr == "null"
+    if null_mask.any():
+        out_text[null_mask] = ""
+        spans_arr = np.empty(int(null_mask.sum()), dtype=object)
+        spans_arr[:] = [[] for _ in range(int(null_mask.sum()))]
+        out_spans[null_mask] = spans_arr
+        out_method[null_mask] = "error"
+        out_err[null_mask] = "null_payload"
 
     # plain: fully bulk passthrough (no per-row loop)
     plain_mask = kind_arr == "plain"

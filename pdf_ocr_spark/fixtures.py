@@ -150,15 +150,16 @@ def generate_transcripts(out_path: str, tier: str = "unit",
     rows = {k: [] for k in
             ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
 
-    def add(conv_seq: int, turn_idx: int, text: str):
+    def add(conv_seq: int, turn_idx: int, text: str | None):
         rows["conv_id"].append(f"conv-{conv_seq:06d}")
         rows["turn_idx"].append(turn_idx)
         rows["role"].append(_ROLES[turn_idx % 3])
         rows["text"].append(text)
+        t = text or ""
         rows["tool"].append(
-            "pdf_reader" if text.startswith("JVBERi")
-            else ("browser" if text.lstrip()[:5].lower().startswith("<html")
-                  or text.startswith("<!DOCTYPE") else ""))
+            "pdf_reader" if t.startswith("JVBERi")
+            else ("browser" if t.lstrip()[:5].lower().startswith("<html")
+                  or t.startswith("<!DOCTYPE") else ""))
         rows["ts"].append(_EPOCH + timedelta(seconds=conv_seq * 3600
                                              + turn_idx * 60))
 
@@ -179,6 +180,7 @@ def generate_transcripts(out_path: str, tier: str = "unit",
         for i in range(4):
             add(2, i, _plain_payload(rng))
         add(2, 4, "")
+        add(2, 5, None)  # NULL payload: must surface as an error row
         # conversation 3: mixed ordering
         add(3, 0, _plain_payload(rng))
         add(3, 1, _pdf_payload(rng, "text"))

@@ -7,9 +7,13 @@ steps (projection, deskew.py:76-121). ``deskew`` is a no-op below 0.1 degrees
 (deskew.py:239-264). ``rotate_image`` expands the canvas to fit, constant
 white border (deskew.py:192-236).
 
-Conventions: ``detect_skew_angle`` returns the angle (degrees, CCW positive)
-by which the text appears rotated; ``deskew`` rotates by the negated angle to
-correct it.
+Conventions (matched to the reference, deskew.py:239-264): detectors return
+a positive angle when the text appears tilted *clockwise* on screen (lines
+sloping down-to-the-right in image coordinates — the sign of the reference's
+``arctan2(y2-y1, x2-x1)``, deskew.py:63); ``rotate_image(img, +a)`` rotates
+*counter-clockwise* on screen (cv2.getRotationMatrix2D convention,
+deskew.py:215); so ``deskew`` corrects by rotating by ``+detected_angle``,
+exactly like the reference (deskew.py:262).
 """
 
 from __future__ import annotations
@@ -104,8 +108,9 @@ def minarea_skew(img: np.ndarray) -> float:
         angle -= 90
     while angle < -45:
         angle += 90
-    # PCA of horizontal text gives ~0 for unskewed; positive = CCW-ish skew
-    return float(-angle)
+    # principal axis of CW-tilted text slopes down-right (dy, dx same sign)
+    # => positive angle, matching the hough/projection sign convention
+    return float(angle)
 
 
 _METHODS = {
@@ -125,10 +130,12 @@ def detect_skew_angle(img: np.ndarray, method: str = "hough") -> float:
 
 def rotate_image(img: np.ndarray, angle_deg: float,
                  bg: int = 255) -> np.ndarray:
-    """Rotate CCW by angle with canvas expansion and constant border
-    (reference deskew.py:192-236). Nearest-neighbor sampling."""
+    """Rotate by angle (positive = counter-clockwise on screen, the
+    cv2.getRotationMatrix2D convention the reference uses,
+    deskew.py:192-236) with canvas expansion and constant border.
+    Nearest-neighbor sampling."""
     h, w = img.shape[:2]
-    t = np.deg2rad(angle_deg)
+    t = np.deg2rad(-angle_deg)  # y-down screen coords: negate for CCW
     cos_a, sin_a = abs(np.cos(t)), abs(np.sin(t))
     new_w = int(np.ceil(w * cos_a + h * sin_a))
     new_h = int(np.ceil(w * sin_a + h * cos_a))
@@ -154,12 +161,14 @@ def rotate_image(img: np.ndarray, angle_deg: float,
     return out
 
 
-def deskew(img: np.ndarray, method: str = "projection") -> tuple:
-    """Detect-and-correct; no-op below 0.1 deg (reference deskew.py:239-264).
+def deskew(img: np.ndarray, method: str = "hough") -> tuple:
+    """Detect-and-correct; no-op below 0.1 deg. Default method and the
+    rotate-by-+angle correction both match the reference
+    (deskew.py:239-264: method="hough", rotate_image(image, angle)).
 
     Returns (corrected_image, detected_angle).
     """
     angle = detect_skew_angle(img, method)
     if abs(angle) < 0.1:
         return img, 0.0
-    return rotate_image(img, -angle), angle
+    return rotate_image(img, angle), angle

@@ -230,6 +230,11 @@ def extract_turn(text: str, cfg: EngineConfig = DEFAULT,
                  dpi: int | None = None) -> TurnResult:
     """Extract one turn payload with reference semantics."""
     kind = detect_payload_kind(text)
+    if kind == "null":
+        # NULL payloads become explicit error rows — never silently dropped
+        # (reference C6 containment; lineage rows_in/rows_out must balance)
+        return TurnResult(extracted_text="", spans=[], method="error",
+                          confidence=0.0, n_pages=0, error="null_payload")
     if kind == KIND_HTML:
         try:
             blocks = extract_html_blocks(

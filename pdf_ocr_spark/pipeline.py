@@ -195,7 +195,11 @@ def run_extraction(
     # cheap route test runs per turn; payload bytes shuffle once (to the
     # distinct), and the join back carries hashes + extracted text, never
     # the payload.
-    is_pdf = F.col("text").startswith("JVBERi")
+    # isNotNull() & startswith(): never three-valued — startswith() alone is
+    # NULL for null text, which would drop the row from BOTH branches
+    # (ADVICE r1). NULL payloads route to the light path, where the UDF
+    # emits an explicit error row.
+    is_pdf = F.col("text").isNotNull() & F.col("text").startswith("JVBERi")
     light = df.filter(~is_pdf)
     pdf_turns = df.filter(is_pdf).withColumn("ph", F.md5("text"))
 
@@ -247,6 +251,12 @@ def run_extraction(
     if done:
         written = written.filter(~F.col("bucket").isin(sorted(done)))
     now_iso = pd.Timestamp.now(tz="UTC").isoformat()
+    # Honest rows_in: count the pre-UDF input per bucket (cheap — the scan
+    # reads only the columns bucket derives from, and the agg is a partial
+    # map-side combine over <= num_buckets keys). rows_in != rows_out is
+    # exactly the data-loss signal resume auditing needs; copying rows_out
+    # would mask it (VERDICT r1 #2).
+    in_counts = df.groupBy("bucket").agg(F.count("*").alias("rows_in"))
     lineage = (
         written.groupBy("bucket")
         .agg(
@@ -258,7 +268,11 @@ def run_extraction(
             # their single decode cost (documented overcount)
             (F.sum("elapsed_us") / 1e6).alias("wall_time_s"),
         )
-        .withColumn("rows_in", F.col("rows_out"))
+        # full outer: a bucket whose rows ALL vanished (rows_out side
+        # missing) still gets a lineage row showing rows_in > rows_out = 0
+        .join(in_counts, "bucket", "full_outer")
+        .fillna(0, subset=["rows_in", "rows_out", "ocr_page_count"])
+        .fillna(0.0, subset=["wall_time_s"])
         .withColumn("run_id", F.lit(run_id))
         .withColumn("input_snapshot_id", F.lit(input_snapshot_id))
         .withColumn("status", F.lit("completed"))

@@ -105,8 +105,8 @@ def q_token_count(spark, sf_dir):
 
 SQL_TOKEN_COUNT = rf"""
 SELECT source,
-       sum(len(regexp_split_to_array(trim(text), '\s+'))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS bpe_tokens,
+       sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_BPE_PATTERN}')))::BIGINT AS bpe_tokens,
        (floor((avg(len(regexp_split_to_array(trim(text), '\s+')))) * 1000000.0 + 0.5) / 1000000.0)
          AS avg_ws_tokens
 FROM documents GROUP BY source ORDER BY source

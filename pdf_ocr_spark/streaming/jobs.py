@@ -79,7 +79,7 @@ def conversation_state_stats(
         else:
             n_turns = n_pdf = n_html = n_chars = 0
         for batch in pdfs:
-            texts = batch["text"]
+            texts = batch["text"].fillna("")  # NULL-safe prefix counters
             n_turns += len(batch)
             n_pdf += int(texts.str.startswith("JVBERi").sum())
             heads = texts.str.lstrip().str.slice(0, 15).str.lower()
@@ -113,7 +113,8 @@ def stream_method_counts(
     path)."""
     src = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
     kind = (
-        F.when(F.col("text").startswith("JVBERi"), "pdf")
+        F.when(F.col("text").isNull(), "null")
+        .when(F.col("text").startswith("JVBERi"), "pdf")
         .when(F.lower(F.ltrim(F.col("text"))).startswith("<!doctype html")
               | F.lower(F.ltrim(F.col("text"))).startswith("<html"),
               "html")

@@ -79,10 +79,33 @@ def test_deskew_noop_below_tenth_degree():
 
 @pytest.mark.parametrize("true_angle", [2.0, -4.0])
 def test_projection_detects_skew(true_angle):
+    # reference sign contract (deskew.py:63,262): rotate_image(+a) is CCW
+    # on screen, detectors report CW-positive => detected == -injected
     img = _noisy_text_image()
     rot = rotate_image(img, true_angle)
     detected = detect_skew_angle(rot, "projection")
-    assert abs(detected - true_angle) <= 0.75
+    assert abs(detected + true_angle) <= 0.75
+
+
+@pytest.mark.parametrize("method", ["hough", "projection", "minarea"])
+@pytest.mark.parametrize("injected", [3.0, -3.0])
+def test_deskew_corrects_all_methods(method, injected):
+    """Reference contract deskew.py:239-264: deskew() rotates by +detected
+    and must *reduce* the skew regardless of method or direction. This test
+    does NOT share the oracle path — it measures residual skew directly."""
+    img = _noisy_text_image()
+    rot = rotate_image(img, injected)
+    corrected, angle = deskew(rot, method)
+    assert abs(angle + injected) <= 0.75  # detected == -injected (CW-pos)
+    residual = detect_skew_angle(corrected, "projection")
+    assert abs(residual) <= 0.5
+
+
+def test_deskew_default_method_is_hough():
+    """Reference deskew() defaults to method='hough' (deskew.py:239-241)."""
+    import inspect
+    from pdf_ocr_spark.kernels.deskew import deskew as d
+    assert inspect.signature(d).parameters["method"].default == "hough"
 
 
 def test_skew_unknown_method():

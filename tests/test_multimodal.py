@@ -24,8 +24,32 @@ def test_rawg_roundtrip():
 
 
 def test_unsupported_codec_raises():
-    with pytest.raises(NotImplementedError):
+    # without Pillow the codec is a documented stub; with Pillow the fake
+    # bytes are a decode error — either way decode_media raises and the
+    # UDF contains it as an error row
+    with pytest.raises(NotImplementedError if mm._PILImage is None
+                       else Exception):
         mm.decode_media(b"\x89PNG...", "image/png")
+
+
+@pytest.mark.skipif(mm._PILImage is None,
+                    reason="Pillow not available in this container")
+def test_pillow_codec_roundtrip():
+    import io
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    buf = io.BytesIO()
+    mm._PILImage.fromarray(img).save(buf, format="PNG")
+    assert (mm.decode_media(buf.getvalue(), "image/png") == img).all()
+
+
+def test_corrupt_rawg_contained_as_error_row(spark):
+    # truncated RAWG header: reshape fails inside decode — must become an
+    # error row, never a task failure
+    rows = [(1, "image/raw", bytearray(b"RAWG\x00\x10\x00\x10abc"), 16, 16)]
+    df = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    out = mm.extract_media_features(df).collect()
+    assert len(out) == 1
+    assert out[0]["error"] and out[0]["mean_intensity"] is None
 
 
 def test_resize_block_mean():

@@ -57,10 +57,15 @@ def test_spans_index_paragraphs(spark, run_paths):
 def test_error_containment(spark, run_paths):
     rows = spark.read.parquet(run_paths["out"]) \
         .filter("method = 'error'").collect()
-    assert len(rows) == 1  # the corrupt base64 fixture turn
-    assert rows[0]["error"]
-    assert rows[0]["extracted_text"] == ""
-    assert rows[0]["confidence"] == 0.0
+    # the corrupt-base64 turn AND the NULL-text turn (routing is never
+    # three-valued: NULL payloads become error rows, not silent drops)
+    assert len(rows) == 2
+    errs = {r["error"] for r in rows}
+    assert "null_payload" in errs
+    for r in rows:
+        assert r["error"]
+        assert r["extracted_text"] == ""
+        assert r["confidence"] == 0.0
 
 
 def test_lineage_rows(spark, run_paths):
@@ -72,6 +77,26 @@ def test_lineage_rows(spark, run_paths):
     assert any(r["ocr_page_count"] > 0 for r in lin)
     listing = history_listing(spark, run_paths["lin"]).collect()
     assert len(listing) == len({r["bucket"] for r in lin})
+
+
+def test_lineage_rows_in_is_honest(spark, unit_transcripts, run_paths):
+    """rows_in is counted from the pre-UDF input per bucket — NOT copied
+    from rows_out (VERDICT r1 #2). Verified against an independent
+    per-bucket count of the input table; with null-containment in place
+    every input row yields exactly one output row, so in == out balances."""
+    from pdf_ocr_spark.pipeline import with_bucket
+    from pdf_ocr_spark.config import DEFAULT
+    src = spark.read.parquet(unit_transcripts)
+    expected = {
+        r["bucket"]: r["n"] for r in
+        with_bucket(src, 8, DEFAULT.salt_turns_per_group)
+        .groupBy("bucket").count().withColumnRenamed("count", "n").collect()}
+    lin = spark.read.parquet(run_paths["lin"]).collect()
+    got_in = {r["bucket"]: r["rows_in"] for r in lin}
+    assert got_in == expected
+    for r in lin:
+        assert r["rows_in"] == r["rows_out"], \
+            f"bucket {r['bucket']}: input rows lost"
 
 
 def test_resume_skips_completed_buckets(spark, unit_transcripts,

@@ -61,7 +61,7 @@ def test_conversation_state_stats(spark, stream_dirs, unit_transcripts,
     pdf_counts = collections.Counter()
     for row in pq.read_table(unit_transcripts).to_pylist():
         expect[row["conv_id"]] += 1
-        if row["text"].startswith("JVBERi"):
+        if (row["text"] or "").startswith("JVBERi"):
             pdf_counts[row["conv_id"]] += 1
     for conv, n in expect.items():
         assert rows[conv]["n_turns"] == n, conv
