@@ -174,14 +174,29 @@ class DeterministicOCREngine:
         return lines
 
 
-_ENGINE: DeterministicOCREngine | None = None
+_ENGINE = None
 
 
-def get_engine() -> DeterministicOCREngine:
+def get_engine(backend: str | None = None):
     """Per-process engine cache — the Spark analog of the reference's
-    singleton (engine.py:81-91); Python workers are reused across batches."""
+    singleton (engine.py:81-91); Python workers are reused across batches.
+
+    Backend selection (first call wins, like the reference singleton):
+    ``deterministic`` (default) or ``paddle`` (the PaddleOCRAdapter —
+    requires paddleocr on the executors). Also settable via the
+    ``SPARK_GRAFT_OCR_BACKEND`` env var, which executors inherit through
+    ``spark.executorEnv.*``."""
     global _ENGINE
     if _ENGINE is None:
-        _ENGINE = DeterministicOCREngine()
+        import os
+        backend = backend or os.environ.get(
+            "SPARK_GRAFT_OCR_BACKEND", "deterministic")
+        if backend == "paddle":
+            from .paddle_adapter import PaddleOCRAdapter
+            _ENGINE = PaddleOCRAdapter()
+        elif backend == "deterministic":
+            _ENGINE = DeterministicOCREngine()
+        else:
+            raise ValueError(f"unknown OCR backend: {backend}")
         _ENGINE.warmup()
     return _ENGINE
