@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .util import round6, MINHASH_A, MINHASH_B, MOD, hash60_sql, t
+from .util import (
+    round6, MINHASH_A, MINHASH_B, MINHASH_N_BANDS, MINHASH_N_HASHES, MOD,
+    hash60_sql, t,
+)
 
 _SHINGLE_EXPR = (
     "transform(sequence(1, size(w) - 2), g -> concat_ws(' ', "
@@ -63,39 +66,44 @@ FROM documents GROUP BY source ORDER BY source
 
 
 # --- MinHash + LSH banding + Jaccard verify ---------------------------------
-def _sig_cols():
+def _sig_cols(n_hashes: int):
     h2 = (F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
           .cast("long") % MOD)
     return [
         F.min((F.lit(a) * h2 + F.lit(b)) % MOD).alias(f"sig{j}")
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        for j, (a, b) in enumerate(zip(MINHASH_A[:n_hashes],
+                                       MINHASH_B[:n_hashes]))
     ]
 
 
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash signatures (8 hashes over word 3-gram shingles), 2 bands of
-    4 -> candidate pairs by band collision -> exact Jaccard verification.
+def q_dedup_minhash(spark, sf_dir,
+                    n_hashes: int = MINHASH_N_HASHES,
+                    n_bands: int = MINHASH_N_BANDS):
+    """MinHash signatures over word 3-gram shingles, banded LSH ->
+    candidate pairs by band collision -> exact Jaccard verification.
+    Production defaults 64 hashes / 16 bands (r=4: collision prob 0.986 at
+    J=0.7, 0.33 at J=0.3); parameterizable down to the 8/2 demo shape.
 
-    Scale shape: the band join is an equi-join on band signature (shuffles
-    only signature rows, never documents); Jaccard verify joins shingle
-    sets for candidate pairs only."""
+    Scale shape: bands explode to (band_idx, band_key) rows and candidates
+    come from ONE equi-join on that pair (shuffles only signature rows,
+    never documents — and one join regardless of band count); Jaccard
+    verify joins shingle sets for candidate pairs only."""
+    assert n_hashes % n_bands == 0 and n_hashes <= len(MINHASH_A)
+    r = n_hashes // n_bands
     sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(*_sig_cols())
-    sigs = sigs.withColumn(
-        "band0", F.concat_ws("-", "sig0", "sig1", "sig2", "sig3")
-    ).withColumn(
-        "band1", F.concat_ws("-", "sig4", "sig5", "sig6", "sig7"))
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "band0", "band1")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "band0", "band1")
-    cand = (
-        a.select("doc_a", "band0")
-        .join(b.select("doc_b", "band0"), "band0")
-        .select("doc_a", "doc_b")
-        .union(
-            a.select("doc_a", "band1")
-            .join(b.select("doc_b", "band1"), "band1")
-            .select("doc_a", "doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b")).distinct())
+    sigs = sh.groupBy("doc_id").agg(*_sig_cols(n_hashes))
+    band_arr = F.array(*[
+        F.concat_ws("-", *[f"sig{b * r + i}" for i in range(r)])
+        for b in range(n_bands)])
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx",
+                      "band_key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx",
+                      "band_key")
+    cand = (a.join(b, ["band_idx", "band_key"])
+            .select("doc_a", "doc_b")
+            .filter(F.col("doc_a") < F.col("doc_b")).distinct())
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "s"])
@@ -117,35 +125,42 @@ def q_dedup_minhash(spark, sf_dir):
     return out
 
 
-def _sig_sql():
+def _sig_sql(n_hashes: int) -> str:
     h2 = f"({hash60_sql('s')} % {MOD})"
     terms = ", ".join(
         f"min(({a} * {h2} + {b}) % {MOD}) AS sig{j}"
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B)))
+        for j, (a, b) in enumerate(zip(MINHASH_A[:n_hashes],
+                                       MINHASH_B[:n_hashes])))
     return terms
 
 
-SQL_DEDUP_MINHASH = f"""
+def make_minhash_sql(n_hashes: int = MINHASH_N_HASHES,
+                     n_bands: int = MINHASH_N_BANDS) -> str:
+    """DuckDB oracle twin of q_dedup_minhash at the same parameters."""
+    assert n_hashes % n_bands == 0
+    r = n_hashes // n_bands
+    band_selects = "\n    UNION ALL ".join(
+        "SELECT doc_id, {idx} AS band_idx, {key} AS band_key FROM sigs"
+        .format(
+            idx=b,
+            key=" || '-' || ".join(
+                ([f"sig{b * r}::VARCHAR"]
+                 + [f"sig{b * r + i}" for i in range(1, r)])
+                if r > 1 else [f"sig{b * r}::VARCHAR"]))
+        for b in range(n_bands))
+    return f"""
 WITH {_SHINGLES_CTE},
 sigs AS (
-  SELECT doc_id, {_sig_sql()} FROM shingles GROUP BY doc_id
+  SELECT doc_id, {_sig_sql(n_hashes)} FROM shingles GROUP BY doc_id
 ),
 banded AS (
-  SELECT doc_id,
-         sig0::VARCHAR || '-' || sig1 || '-' || sig2 || '-' || sig3
-           AS band0,
-         sig4::VARCHAR || '-' || sig5 || '-' || sig6 || '-' || sig7
-           AS band1
-  FROM sigs
+    {band_selects}
 ),
 cand AS (
-  SELECT DISTINCT doc_a, doc_b FROM (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM banded a JOIN banded b ON a.band0 = b.band0
-    UNION
-    SELECT a.doc_id, b.doc_id
-    FROM banded a JOIN banded b ON a.band1 = b.band1
-  ) WHERE doc_a < doc_b
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
 inter AS (
@@ -162,6 +177,9 @@ JOIN sizes za ON za.doc_id = i.doc_a
 JOIN sizes zb ON zb.doc_id = i.doc_b
 ORDER BY doc_a, doc_b
 """
+
+
+SQL_DEDUP_MINHASH = make_minhash_sql()
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -89,59 +89,134 @@ FROM embeddings GROUP BY 1 ORDER BY bucket
 """
 
 
-def q_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: vectors 0-15 act as the (deterministically
-    'trained') coarse centroids; every vector is assigned to its
-    max-dot-product cell; the query (vec_id 0) probes only its own cell
-    and ranks candidates by exact cosine (top 5).
+# dot of the data embedding against a double-typed centroid array c_emb
+_DOT_C = ("aggregate(zip_with(embedding, c_emb, (x, y) -> "
+          "cast(x as double) * y), 0D, (acc, v) -> acc + v)")
+_SQL_DOT_C = ("list_sum(list_transform(range(1, 65), i -> "
+              "e.embedding[i]::DOUBLE * c.c_emb[i]))")
 
-    Scale shape: assignment is a broadcast join against 16 centroids +
-    a rank window; the probe is a cell equi-join — the cross join touches
-    N*16 rows once, search touches one cell."""
-    e = t(spark, sf_dir, "embeddings")
-    cents = (e.filter(F.col("vec_id") < 16)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("q_emb")))
+
+def _assign(e, cents):
+    """Nearest-centroid assignment: broadcast join against the (few)
+    centroids + rank window; ties break on cent_id."""
     dots = (e.crossJoin(F.broadcast(cents))
-            .withColumn("dot", F.expr(_DOT_Q)))
+            .withColumn("dot", F.expr(_DOT_C)))
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cent_id")
-    assigned = (dots.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "label", "embedding", "cent_id"))
-    q_cell = assigned.filter(F.col("vec_id") == 0) \
-        .select(F.col("cent_id").alias("qc"),
-                F.col("embedding").alias("q_emb"))
-    cand = (assigned.join(F.broadcast(q_cell),
-                          assigned.cent_id == q_cell.qc)
+    return (dots.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "label", "embedding", "cent_id"))
+
+
+def _lloyd_update(assigned):
+    """One Lloyd step: per-cell per-dimension mean, components rounded to
+    6 decimals so Spark and the DuckDB oracle agree bit-for-bit despite
+    different float summation orders."""
+    ex = assigned.select("cent_id",
+                         F.posexplode("embedding").alias("dim", "v"))
+    means = ex.groupBy("cent_id", "dim").agg(
+        round6(F.avg(F.col("v").cast("double"))).alias("mv"))
+    return means.groupBy("cent_id").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"]).alias("c_emb"))
+
+
+def q_ann_ivf(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
+              nprobe: int = 2, k: int = 5):
+    """IVF ANN with trained centroids and multi-probe: vectors 0..15 seed
+    the coarse centroids, 2 deterministic Lloyd iterations refine them
+    (per-cell mean, components rounded to 6 decimals for cross-engine
+    determinism), every vector is assigned to its max-dot cell, and the
+    query (vec_id 0) probes its nprobe=2 best cells, ranking candidates by
+    exact cosine (top 5).
+
+    Scale shape: each assignment pass is a broadcast join against n_cents
+    centroids + a rank window (never a vector-vector cross join); Lloyd
+    updates are explode + group-by (map-side combinable); the probe is a
+    cell equi-join touching only nprobe cells."""
+    e = t(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    cents = (e.filter(F.col("vec_id") < n_cents)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.expr("transform(embedding, x -> cast(x as double))")
+                     .alias("c_emb")))
+    for _ in range(n_iters):
+        cents = _lloyd_update(_assign(e, cents))
+    assigned = _assign(e, cents)
+
+    q = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_full"))
+    q_dots = (cents.crossJoin(F.broadcast(q))
+              .withColumn("dot", F.expr(
+                  "aggregate(zip_with(q_full, c_emb, (x, y) -> "
+                  "cast(x as double) * y), 0D, (acc, v) -> acc + v)")))
+    wq = Window.orderBy(F.desc("dot"), "cent_id")
+    probe = (q_dots.withColumn("rn", F.row_number().over(wq))
+             .filter(F.col("rn") <= nprobe).select("cent_id"))
+
+    q_emb = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_emb"))
+    cand = (assigned.join(F.broadcast(probe), "cent_id")
             .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q_emb))
             .withColumn("cosine", F.expr(_DOT_Q)
                         / (F.expr(_NORM) * F.expr(_NORM_Q))))
     return (cand.select("vec_id", "label",
                         round6("cosine").alias("cosine"))
-            .orderBy(F.desc("cosine"), "vec_id").limit(5))
+            .orderBy(F.desc("cosine"), "vec_id").limit(k))
 
 
-SQL_ANN_IVF = f"""
-WITH cents AS (
-  SELECT vec_id AS cent_id, embedding AS q_emb FROM embeddings
-  WHERE vec_id < 16
-),
-dots AS (
-  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
-         {_SQL_DOT_Q} AS dot
-  FROM embeddings e, cents c
-),
-assigned AS (
+def make_ivf_sql(n_cents: int = 16, n_iters: int = 2, nprobe: int = 2,
+                 k: int = 5) -> str:
+    """DuckDB oracle twin of q_ann_ivf at the same parameters. Dimension
+    means use the same floor-based 6-decimal rounding, so the refined
+    centroids are bit-identical across engines."""
+    ctes = [f"""emb AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cent_id,
+         list_transform(embedding, x -> x::DOUBLE) AS c_emb
+  FROM embeddings WHERE vec_id < {n_cents}
+)"""]
+    prev = "c0"
+    for it in range(n_iters):
+        a, m, c = f"a{it}", f"m{it}", f"c{it + 1}"
+        ctes.append(f"""{a} AS (
   SELECT vec_id, label, embedding, cent_id FROM (
-    SELECT vec_id, label, embedding, cent_id,
-           row_number() OVER (PARTITION BY vec_id
-                              ORDER BY dot DESC, cent_id) AS rn
-    FROM dots
+    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_DOT_C} DESC, c.cent_id) AS rn
+    FROM emb e, {prev} c
   ) WHERE rn = 1
 ),
-q_cell AS (
-  SELECT cent_id AS qc, embedding AS q_emb FROM assigned WHERE vec_id = 0
-)
+{m} AS (
+  SELECT cent_id, d,
+         floor(avg(embedding[d]::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           AS mv
+  FROM {a}, (SELECT unnest(range(1, 65)) AS d)
+  GROUP BY cent_id, d
+),
+{c} AS (SELECT cent_id, list(mv ORDER BY d) AS c_emb FROM {m}
+        GROUP BY cent_id)""")
+        prev = c
+    ctes.append(f"""af AS (
+  SELECT vec_id, label, embedding, cent_id FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_SQL_DOT_C} DESC, c.cent_id) AS rn
+    FROM emb e, {prev} c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+           row_number() OVER (ORDER BY
+             list_sum(list_transform(range(1, 65), i ->
+               q.embedding[i]::DOUBLE * c.c_emb[i])) DESC,
+             c.cent_id) AS rn
+    FROM {prev} c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) WHERE rn <= {nprobe}
+),
+qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)""")
+    body = f"""
 SELECT a.vec_id, a.label,
        (floor((
           list_sum(list_transform(range(1, 65), i ->
@@ -151,10 +226,13 @@ SELECT a.vec_id, a.label,
              * sqrt(list_sum(list_transform(range(1, 65), i ->
                  q.q_emb[i]::DOUBLE * q.q_emb[i]::DOUBLE))))
         ) * 1000000.0 + 0.5) / 1000000.0) AS cosine
-FROM assigned a JOIN q_cell q ON a.cent_id = q.qc
+FROM af a JOIN probe p ON a.cent_id = p.cent_id, qv q
 WHERE a.vec_id <> 0
-ORDER BY cosine DESC, a.vec_id LIMIT 5
-"""
+ORDER BY cosine DESC, a.vec_id LIMIT {k}"""
+    return "WITH " + ",\n".join(ctes) + body
+
+
+SQL_ANN_IVF = make_ivf_sql()
 
 
 def q_knn_label_vote(spark, sf_dir):

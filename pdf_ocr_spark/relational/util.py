@@ -70,9 +70,16 @@ def _lcg_ints(seed: int, n: int, lo: int, hi: int) -> list:
 
 
 # MinHash: H independent hashes h_j(s) = (a_j * (hash60(s) % MOD) + b_j) % MOD
-MINHASH_N = 8
-MINHASH_A = _lcg_ints(101, MINHASH_N, 1, 2 ** 31)
-MINHASH_B = _lcg_ints(202, MINHASH_N, 0, 2 ** 31)
+# 128 pre-generated hash functions; queries slice the first n_hashes so
+# demo (8/2) and production (64/16, 128/32) parameterizations share seeds.
+MINHASH_MAX = 128
+MINHASH_A = _lcg_ints(101, MINHASH_MAX, 1, 2 ** 31)
+MINHASH_B = _lcg_ints(202, MINHASH_MAX, 0, 2 ** 31)
+# production defaults: r = 64/16 = 4 rows/band =>
+# P(candidate | J) = 1 - (1 - J^4)^16: 0.986 at J=0.7, 0.33 at J=0.3 —
+# high recall at the near-dup threshold, steep cutoff below it
+MINHASH_N_HASHES = 64
+MINHASH_N_BANDS = 16
 
 # Random-hyperplane LSH for 64-dim embeddings: 8 planes -> 8-bit bucket
 LSH_PLANES = [_lcg_floats(1000 + j, 64) for j in range(8)]
