@@ -24,22 +24,27 @@ from pyspark.sql import Column, DataFrame, functions as F
 PAGE_SEPARATOR = "\n\n--- 第 {page} 页 ---\n\n"
 
 
-def txt_pages(pages: list, include_page_numbers: bool = True) -> str:
-    """Reference TxtExporter._generate_content (txt_export.py:61-77).
+def txt_pages(pages: list, include_page_numbers: bool = True,
+              page_separator: str = PAGE_SEPARATOR,
+              paragraph_separator: str = "\n\n") -> str:
+    """Reference TxtExporter._generate_content (txt_export.py:61-77); the
+    separator templates are constructor parameters in the reference
+    (txt_export.py:15-20) and parameters here.
 
     ``pages``: [(page_num, [paragraph_text, ...])]. Driver-side/python
     variant used by the oracle-style tests."""
     parts = []
     for i, (page_num, paragraphs) in enumerate(pages):
         if i > 0 and include_page_numbers:
-            parts.append(PAGE_SEPARATOR.format(page=page_num + 1))
-        parts.append("\n\n".join(paragraphs))
+            parts.append(page_separator.format(page=page_num + 1))
+        parts.append(paragraph_separator.join(paragraphs))
     return "".join(parts)
 
 
-def txt_simple(pages: list) -> str:
+def txt_simple(pages: list, paragraph_separator: str = "\n\n") -> str:
     """Reference export_simple (txt_export.py:79-108)."""
-    return "\n\n".join(p for _, paragraphs in pages for p in paragraphs)
+    return paragraph_separator.join(
+        p for _, paragraphs in pages for p in paragraphs)
 
 
 def markdown(pages: list, title: str | None = None,

@@ -29,6 +29,40 @@ def test_txt_simple_joins_all_paragraphs():
     assert txt_simple(PAGES) == "para one\n\npara two\n\nsecond page"
 
 
+def test_txt_empty_pages_list():
+    # reference _generate_content over [] -> "" (txt_export.py:61-77)
+    assert txt_pages([]) == ""
+    assert txt_simple([]) == ""
+    assert markdown([]) == ""
+    assert markdown([], title="T") == "# T\n\n"
+
+
+def test_txt_page_with_no_paragraphs_keeps_separator_arithmetic():
+    # an empty page contributes "" but still advances the separator loop
+    pages = [(0, ["a"]), (1, []), (2, ["b"])]
+    assert txt_pages(pages) == ("a"
+                                "\n\n--- 第 2 页 ---\n\n"
+                                ""
+                                "\n\n--- 第 3 页 ---\n\n"
+                                "b")
+    assert txt_simple(pages) == "a\n\nb"
+
+
+def test_txt_custom_separators():
+    # constructor params in the reference (txt_export.py:15-20)
+    pages = [(0, ["a", "b"]), (1, ["c"])]
+    out = txt_pages(pages, page_separator="<<{page}>>",
+                    paragraph_separator="|")
+    assert out == "a|b<<2>>c"
+    assert txt_simple(pages, paragraph_separator="|") == "a|b|c"
+
+
+def test_txt_single_page_never_gets_separator():
+    assert txt_pages([(7, ["only"])]) == "only"
+    # ...even when include_page_numbers is on and page_num is high
+    assert "页" not in txt_pages([(99, ["x"])])
+
+
 def test_markdown_layout():
     out = markdown(PAGES, title="Doc")
     assert out == ("# Doc\n\n"
