@@ -67,8 +67,11 @@ FROM documents GROUP BY source ORDER BY source
 
 # --- MinHash + LSH banding + Jaccard verify ---------------------------------
 def _sig_cols(n_hashes: int):
-    h2 = (F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-          .cast("long") % MOD)
+    # h2 is a COLUMN ("h2"), projected once per shingle row before the
+    # aggregation — inlining the md5 expression here would make every one
+    # of the n_hashes min() functions recompute it per row (measured 3.3x
+    # on the whole query at 64 hashes)
+    h2 = F.col("h2")
     return [
         F.min((F.lit(a) * h2 + F.lit(b)) % MOD).alias(f"sig{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A[:n_hashes],
@@ -91,7 +94,11 @@ def q_dedup_minhash(spark, sf_dir,
     assert n_hashes % n_bands == 0 and n_hashes <= len(MINHASH_A)
     r = n_hashes // n_bands
     sh = _shingles(spark, sf_dir)
-    sigs = sh.groupBy("doc_id").agg(*_sig_cols(n_hashes))
+    hashed = sh.select(
+        "doc_id",
+        ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+          .cast("long")) % MOD).alias("h2"))
+    sigs = hashed.groupBy("doc_id").agg(*_sig_cols(n_hashes))
     band_arr = F.array(*[
         F.concat_ws("-", *[f"sig{b * r + i}" for i in range(r)])
         for b in range(n_bands)])
@@ -126,9 +133,9 @@ def q_dedup_minhash(spark, sf_dir,
 
 
 def _sig_sql(n_hashes: int) -> str:
-    h2 = f"({hash60_sql('s')} % {MOD})"
+    # h2 is projected once in the hashed CTE (same hoist as the Spark side)
     terms = ", ".join(
-        f"min(({a} * {h2} + {b}) % {MOD}) AS sig{j}"
+        f"min(({a} * h2 + {b}) % {MOD}) AS sig{j}"
         for j, (a, b) in enumerate(zip(MINHASH_A[:n_hashes],
                                        MINHASH_B[:n_hashes])))
     return terms
@@ -150,8 +157,11 @@ def make_minhash_sql(n_hashes: int = MINHASH_N_HASHES,
         for b in range(n_bands))
     return f"""
 WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id, ({hash60_sql('s')} % {MOD}) AS h2 FROM shingles
+),
 sigs AS (
-  SELECT doc_id, {_sig_sql(n_hashes)} FROM shingles GROUP BY doc_id
+  SELECT doc_id, {_sig_sql(n_hashes)} FROM hashed GROUP BY doc_id
 ),
 banded AS (
     {band_selects}
