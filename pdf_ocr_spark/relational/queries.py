@@ -551,8 +551,63 @@ GROUP BY token ORDER BY n DESC, token LIMIT 20
 """
 
 
+# --- conversation assembly (L7 lifted to conversation granularity) ----------
+def q_conversation_assembly(spark, sf_dir):
+    """Training-data export shape (export.assemble_conversations, the
+    conversation-level analog of the reference's page->doc "\\n\\n" join,
+    api/ocr.py:140): per user, event types joined in stable (ts, event_id)
+    order. JVM-only sort_array over collected structs — no UDF, one
+    shuffle."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), x -> x.event_type), "
+                "'\\n\\n')").alias("event_stream"),
+                F.count("*").alias("n_events"))
+            .orderBy("user_id"))
+
+
+SQL_CONVERSATION_ASSEMBLY = """
+SELECT user_id,
+       string_agg(event_type, chr(10) || chr(10)
+                  ORDER BY ts, event_id) AS event_stream,
+       count(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- repeated-content boilerplate flag (L4 at corpus granularity) -----------
+def q_boilerplate_docs(spark, sf_dir):
+    """The reference's repeated header/footer heuristic
+    (postprocess.py:315-359: text recurring >= 3 times is boilerplate)
+    lifted to corpus granularity: a document whose exact text appears >= 3
+    times within its source is flagged (pipeline.flag_repeated_turns is
+    the turn-level twin). One window over (source, content-hash)."""
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", F.md5("text"))
+    return (d.withColumn("n_copies", F.count("*").over(w))
+            .withColumn("is_boilerplate",
+                        (F.col("n_copies") >= 3)
+                        & (F.length("text") > 0))
+            .select("doc_id", "n_copies", "is_boilerplate")
+            .orderBy("doc_id"))
+
+
+SQL_BOILERPLATE_DOCS = """
+SELECT doc_id,
+       count(*) OVER (PARTITION BY source, md5(text)) AS n_copies,
+       (count(*) OVER (PARTITION BY source, md5(text)) >= 3
+        AND length(text) > 0) AS is_boilerplate
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pdf_type_classify": (q_pdf_type_classify, SQL_PDF_TYPE_CLASSIFY),
+    "conversation_assembly": (q_conversation_assembly,
+                              SQL_CONVERSATION_ASSEMBLY),
+    "boilerplate_docs": (q_boilerplate_docs, SQL_BOILERPLATE_DOCS),
     "page_separator_assembly": (q_page_separator_assembly,
                                 SQL_PAGE_SEPARATOR_ASSEMBLY),
     "skip_ocr_routing": (q_skip_ocr_routing, SQL_SKIP_OCR_ROUTING),
