@@ -52,12 +52,6 @@ class EngineConfig:
     num_buckets: int = 64          # deterministic work buckets (lineage unit)
     salt_turns_per_group: int = 64  # long-conversation salting granularity
     arrow_max_records_per_batch: int = 256  # base64 PDFs are fat rows
-    # viral-attachment skew: a payload referenced by >= min_refs turns is a
-    # heavy hitter; its decoded result is salt-replicated across
-    # hot_payload_salts reducers instead of hashing all referring turns to
-    # one (the join-back skew VERDICT r1 flagged)
-    hot_payload_min_refs: int = 10_000
-    hot_payload_salts: int = 64
 
 
 DEFAULT = EngineConfig()

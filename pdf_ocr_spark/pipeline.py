@@ -38,7 +38,6 @@ import uuid
 from typing import Iterator
 
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
@@ -78,7 +77,6 @@ LINEAGE_SCHEMA = StructType([
 
 PAYLOAD_SCHEMA = StructType([
     StructField("ph", StringType()),
-    StructField("n_refs", LongType()),
     StructField("extracted_text", StringType()),
     StructField("spans", ArrayType(StructType([
         StructField("start", IntegerType()),
@@ -109,7 +107,6 @@ def _make_payload_udf(cfg: EngineConfig):
         from .extract import extract_payload_batch
         for batch in batches:
             res = extract_payload_batch(batch["text"], cfg)
-            res.insert(0, "n_refs", batch["n_refs"].values)
             res.insert(0, "ph", batch["ph"].values)
             yield res
     return extract
@@ -132,20 +129,32 @@ def with_bucket(df: DataFrame, num_buckets: int,
 
 
 def build_result(df: DataFrame, cfg: EngineConfig,
-                 num_partitions: int,
-                 persisted: list | None = None) -> DataFrame:
+                 num_partitions: int) -> DataFrame:
     """Build the extraction result frame (the flagship logical plan).
-
-    ``persisted``: optional list that receives internally persisted frames
-    so the caller can unpersist them once the result is materialized.
 
     # --- dedup-before-decode pre-pass -------------------------------------
     Real transcript tables repeat attachments heavily; decoding each
     DISTINCT PDF payload exactly once cluster-wide makes total decode work
     independent of both duplication factor and executor count. Only the
     cheap route test runs per turn; payload bytes shuffle once (to the
-    distinct-count aggregation), and the join back carries hashes +
-    extracted text, never the payload.
+    distinct), and the join back carries hashes + extracted text, never
+    the payload.
+
+    # --- viral-attachment skew (VERDICT r1 #3) ---------------------------
+    A payload referenced by 10^8 turns hashes every referring turn to one
+    reducer in the join back on ph. The engine relies on the two native
+    mechanisms, both verified by tests/test_pipeline_skew.py:
+      * if decoded results are broadcastable, AQE turns the join into a
+        broadcast-hash join — the turns side never shuffles by ph at all;
+      * at scale (sort-merge join), AQE's OptimizeSkewedJoin splits the
+        skewed turns-side partition into advisory-size chunks and
+        replicates the single matching payload row per chunk
+        (SortMergeJoin(skew=true) — asserted on a 200x-skewed fixture).
+    session.build_session pins skewJoin.enabled and documents the two
+    thresholds to tune at 100 TB. An explicit hot-key salted-join variant
+    was measured 15-35% slower end-to-end in the no-hot-key common case
+    (persist of decoded results + extra broadcast routing joins) and
+    removed in favor of the AQE path — see git history for the variant.
     """
     # isNotNull() & startswith(): never three-valued — startswith() alone is
     # NULL for null text, which would drop the row from BOTH branches
@@ -163,17 +172,8 @@ def build_result(df: DataFrame, cfg: EngineConfig,
     light_result = light.mapInPandas(_make_extract_udf(cfg),
                                      schema=OUTPUT_SCHEMA)
 
-    # Distinct payloads AND per-payload reference counts from ONE
-    # aggregation: first(text) is well-defined (ph = md5(text), so every
-    # text in a group is identical) and the map-side partial agg ships one
-    # payload per ph per map task — the same bytes dropDuplicates shuffled,
-    # with the heavy-hitter count riding along for free.
-    counted = (pdf_turns.groupBy("ph")
-               .agg(F.first("text").alias("text"),
-                    F.count("*").alias("n_refs")))
-
     # Round-robin repartition, NOT hash(ph): a hash exchange on ph is
-    # identical to the aggregation exchange, so Spark eliminates it and
+    # identical to the dropDuplicates exchange, so Spark eliminates it and
     # the decode stage inherits AQE's size-coalesced layout (observed: 192
     # payloads -> 1 partition -> serial decode). AQE coalesces by bytes and
     # cannot see UDF CPU cost; an explicit round-robin repartition(n) is
@@ -182,60 +182,15 @@ def build_result(df: DataFrame, cfg: EngineConfig,
     # cost is uneven (text vs raster flavors), and with task_size ~=
     # stage_size/cores the straggler tail costs ~15% of the stage wall
     # (measured util 0.86 -> ~0.95 with finer tasks)
-    #
-    # persist(): the decoded results feed FOUR consumers (hot-key
-    # broadcast x2, cold join, hot salted join); without a cache each
-    # consumer would recompute the payload shuffle + decode (verified: no
-    # ReusedExchange — the branches prune differently, so their exchanges
-    # are not identical subtrees). The cache holds extracted text, which
-    # is far smaller than the raw payloads; MEMORY_AND_DISK spills
-    # gracefully. run_extraction unpersists after the write commits.
-    payload_results = (counted
-                       .repartition(num_partitions * 4)
-                       .mapInPandas(_make_payload_udf(cfg),
-                                    schema=PAYLOAD_SCHEMA)
-                       .persist(StorageLevel.MEMORY_AND_DISK))
-    if persisted is not None:
-        persisted.append(payload_results)
-
-    is_hot = F.col("n_refs") >= cfg.hot_payload_min_refs
-    # hot KEYS only (md5 strings — tiny by definition: at most
-    # total_turns/min_refs of them), broadcast to route turns skew-free
-    hot_keys = payload_results.filter(is_hot).select("ph")
-    cold_results = payload_results.filter(~is_hot).drop("n_refs")
-    hot_results = payload_results.filter(is_hot).drop("n_refs")
-
-    turns_slim = pdf_turns.select("conv_id", "turn_idx", "bucket", "ph")
-
-    # --- viral-attachment skew (VERDICT r1 #3) ---------------------------
-    # A payload referenced by 10^8 turns would hash every referring turn to
-    # ONE reducer in a plain equi-join on ph. Split the join:
-    #   cold keys: ordinary shuffle join (bounded by min_refs rows/key);
-    #   hot keys:  salt-replicate the (few) decoded hot results S ways and
-    #              join on (ph, salt) — each hot key spreads over S
-    #              reducers, turns pick their replica by a uniform hash of
-    #              (conv_id, turn_idx). Replication cost is
-    #              n_hot * S * |extracted_text| shuffle bytes — cheaper
-    #              than broadcasting results to every executor and immune
-    #              to AQE's skew-split thresholds.
-    # The hot/cold routing of turns uses broadcast semi/anti joins on the
-    # tiny hot_keys set, so the turns side shuffles exactly once (for the
-    # cold sort-merge join), same as the unsalted plan.
-    S = cfg.hot_payload_salts
-    turns_cold = turns_slim.join(F.broadcast(hot_keys), "ph", "left_anti")
-    cold_joined = turns_cold.join(cold_results, "ph")
-
-    hot_exp = hot_results.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(S - 1))))
-    turns_hot = (
-        turns_slim.join(F.broadcast(hot_keys), "ph", "left_semi")
-        .withColumn("salt",
-                    F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                           F.lit(S)).cast("int")))
-    hot_joined = turns_hot.join(hot_exp, ["ph", "salt"]).drop("salt")
-
-    pdf_result = (cold_joined.unionByName(hot_joined)
-                  .select([f.name for f in OUTPUT_SCHEMA.fields]))
+    distinct_payloads = (
+        pdf_turns.select("ph", "text").dropDuplicates(["ph"])
+        .repartition(num_partitions * 4))
+    payload_results = distinct_payloads.mapInPandas(
+        _make_payload_udf(cfg), schema=PAYLOAD_SCHEMA)
+    pdf_result = (
+        pdf_turns.select("conv_id", "turn_idx", "bucket", "ph")
+        .join(payload_results, "ph")
+        .select([f.name for f in OUTPUT_SCHEMA.fields]))
 
     return (
         light_result.unionByName(pdf_result)
@@ -303,19 +258,14 @@ def run_extraction(
         if done:
             df = df.filter(~F.col("bucket").isin(sorted(done)))
 
-    persisted: list = []
-    result = build_result(df, cfg, num_partitions, persisted)
+    result = build_result(df, cfg, num_partitions)
 
     # data write first (idempotent per bucket: Iceberg overwritePartitions
     # or parquet dynamic partition overwrite — catalog.py) ...
-    try:
-        t_write = time.time()
-        overwrite_partitions(result, output_path, "bucket")
-        wall = time.time() - t0
-        write_phase_s = time.time() - t_write
-    finally:
-        for frame in persisted:
-            frame.unpersist()
+    t_write = time.time()
+    overwrite_partitions(result, output_path, "bucket")
+    wall = time.time() - t0
+    write_phase_s = time.time() - t_write
 
     # ... lineage commit second (status-last ordering, mirroring the
     # reference's meta-write-after-result ordering, api/ocr.py:284-306).

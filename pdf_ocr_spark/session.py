@@ -29,6 +29,14 @@ def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Viral-attachment skew in the payload join-back (pipeline.py
+        # build_result) is handled by AQE: broadcast when the decoded
+        # results are small, OptimizeSkewedJoin partition splitting when
+        # sort-merge (verified SortMergeJoin(skew=true) in
+        # tests/test_pipeline_skew.py). Pinned on explicitly; at 100 TB
+        # tune skewedPartitionThresholdInBytes /
+        # advisoryPartitionSizeInBytes to executor memory.
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # fat base64 rows: bound Arrow batch memory (SURVEY §7 hard parts)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(DEFAULT.arrow_max_records_per_batch))

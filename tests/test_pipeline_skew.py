@@ -36,22 +36,23 @@ def test_skew_conversation_splits_across_buckets(spark, pipeline_fixture):
 
 @pytest.fixture(scope="module")
 def viral_fixture(tmp_path_factory):
-    """One viral attachment referenced by 3000 turns (VERDICT r1 #3: the
-    ph-join skew candidate) + a cold tail of distinct payloads."""
-    import base64
+    """One viral attachment referenced by 50k turns (VERDICT r1 #3: the
+    ph-join skew candidate) + a cold tail of distinct payloads. The hot
+    key must stay heavy AFTER shuffle compression (identical ph + near-
+    sequential conv ids compress brutally), hence the high ref count."""
     import pyarrow as pa
     from pdf_ocr_spark.fixtures import _pdf_payload, _plain_payload
     rng = random.Random(99)
     hot = _pdf_payload(rng, "text")
     cold = [_pdf_payload(rng, "text") for _ in range(20)]
     rows = {"conv_id": [], "turn_idx": [], "text": []}
-    for c in range(60):
-        for t in range(55):
+    for c in range(100):
+        for t in range(512):
             rows["conv_id"].append(f"conv-{c:06d}")
             rows["turn_idx"].append(t)
-            if t < 50:
-                rows["text"].append(hot)      # 60*50 = 3000 hot refs
-            elif t == 50:
+            if t < 500:
+                rows["text"].append(hot)      # 100*500 = 50000 hot refs
+            elif t == 500:
                 rows["text"].append(cold[c % 20])
             else:
                 rows["text"].append(_plain_payload(rng))
@@ -61,81 +62,85 @@ def viral_fixture(tmp_path_factory):
                       "text": pa.array(rows["text"], pa.string())})
     import pyarrow.parquet as pqw
     pqw.write_table(table, path)
-    return {"path": path, "hot": hot, "n_hot": 3000}
+    return {"path": path, "hot": hot, "n_hot": 50000}
 
 
-def _skew_cfg():
-    import dataclasses
+_SKEW_CONFS = {
+    # shrink AQE's skew thresholds so the 50k-ref key triggers the same
+    # OptimizeSkewedJoin machinery a multi-GB viral key triggers in
+    # production, and force the sort-merge path (the broadcast path is
+    # separately asserted below). Thresholds compare COMPRESSED map-output
+    # sizes, and 50k near-identical slim rows lz4-compress to single-digit
+    # KB — hence the aggressive values.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+class _conf_override:
+    def __init__(self, spark, confs):
+        self.spark, self.confs, self.saved = spark, confs, {}
+
+    def __enter__(self):
+        for k, v in self.confs.items():
+            try:
+                self.saved[k] = self.spark.conf.get(k)
+            except Exception:
+                self.saved[k] = None
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *a):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+def test_viral_attachment_aqe_splits_skewed_join(spark, viral_fixture):
+    """At scale the payload join-back is a sort-merge join and the viral
+    key hashes all its turns to one reducer; AQE's OptimizeSkewedJoin must
+    split it. Asserted on the REAL build_result plan with the skew
+    thresholds scaled down to fixture size — the executed final plan must
+    carry SortMergeJoin(skew=true)."""
     from pdf_ocr_spark.config import DEFAULT
-    return dataclasses.replace(
-        DEFAULT, hot_payload_min_refs=500, hot_payload_salts=8)
-
-
-def test_viral_attachment_salted_join_plan(spark, viral_fixture):
-    """The hot-key path must be IN the plan: broadcast semi/anti routing of
-    turns, explode-replication of hot results, and a cache so decode runs
-    once across the four consumers."""
     from pdf_ocr_spark.pipeline import build_result, with_bucket
-    df = spark.read.parquet(viral_fixture["path"])
-    persisted = []
-    result = build_result(with_bucket(df, 16, 64), _skew_cfg(), 8,
-                          persisted)
-    plan = result._jdf.queryExecution().executedPlan().toString()
-    try:
-        assert "LeftSemi" in plan
-        assert "LeftAnti" in plan
-        assert "explode" in plan          # salt replication of hot results
-        assert "InMemoryTableScan" in plan  # decode-once cache
-    finally:
-        for f in persisted:
-            f.unpersist()
+    with _conf_override(spark, _SKEW_CONFS):
+        df = spark.read.parquet(viral_fixture["path"])
+        result = build_result(with_bucket(df, 16, 64), DEFAULT, 8)
+        rows = result.collect()
+        plan = result._jdf.queryExecution().executedPlan().toString()
+    assert len(rows) == pq.read_table(viral_fixture["path"]).num_rows
+    assert "isFinalPlan=true" in plan
+    assert "SortMergeJoin(skew=true)" in plan, \
+        "AQE did not split the viral-key join partition"
+    assert "skewed" in plan  # AQEShuffleRead ... skewed
 
 
-def test_viral_attachment_spread_and_equality(spark, viral_fixture,
-                                              tmp_path_factory):
+def test_viral_attachment_broadcast_path_and_equality(spark, viral_fixture,
+                                                      tmp_path_factory):
+    """With default thresholds the decoded distinct payloads are small
+    enough that AQE broadcasts them — then the turns side never shuffles
+    by ph at all and the viral key cannot skew anything. Correctness:
+    every hot turn extracted byte-identically."""
     from pyspark.sql import functions as F
     from pdf_ocr_spark.pipeline import run_extraction
 
     base = tmp_path_factory.mktemp("viralrun")
     metrics = run_extraction(
         spark, viral_fixture["path"], str(base / "out"), str(base / "lin"),
-        run_id="viral", num_buckets=16, num_partitions=8, resume=False,
-        cfg=_skew_cfg())
+        run_id="viral", num_buckets=16, num_partitions=8, resume=False)
     n_in = pq.read_table(viral_fixture["path"]).num_rows
     assert metrics["rows_out"] == n_in
 
     out = spark.read.parquet(str(base / "out"))
-    # every hot turn extracted, byte-identical to the oracle
     expect = oracle.extract_turn(viral_fixture["hot"])
     hot_rows = out.filter(F.col("method") == "extract") \
         .filter(F.col("extracted_text") == expect.extracted_text)
     assert hot_rows.count() == viral_fixture["n_hot"]
-
-    # salting math: the hot key's turns spread across all 8 salt slots with
-    # bounded imbalance (max <= 2x the ideal share)
-    S = 8
-    spread = (out.filter(F.col("extracted_text") == expect.extracted_text)
-              .filter(F.col("method") == "extract")
-              .groupBy(F.pmod(F.xxhash64("conv_id", "turn_idx"),
-                              F.lit(S)).alias("salt"))
-              .count().collect())
-    counts = {r["salt"]: r["count"] for r in spread}
-    assert len(counts) == S
-    ideal = viral_fixture["n_hot"] / S
-    assert max(counts.values()) <= 2 * ideal
-
-
-def test_no_hot_keys_is_a_noop_path(spark, unit_transcripts,
-                                    tmp_path_factory):
-    """With default thresholds (no payload reaches min_refs) the salted
-    branch is empty and results are unchanged — guarded by the equality
-    suite, asserted cheaply here on row count."""
-    from pdf_ocr_spark.pipeline import run_extraction
-    base = tmp_path_factory.mktemp("nohot")
-    m = run_extraction(spark, unit_transcripts, str(base / "out"),
-                       str(base / "lin"), run_id="nh", num_buckets=8,
-                       num_partitions=8, resume=False)
-    assert m["rows_out"] == pq.read_table(unit_transcripts).num_rows
 
 
 def test_pipeline_tier_run_and_sampled_equality(spark, pipeline_fixture,

@@ -36,24 +36,19 @@ def test_flagship_plan_locks(spark, unit_transcripts):
     from pdf_ocr_spark.config import DEFAULT
     df = spark.read.parquet(unit_transcripts) \
         .select("conv_id", "turn_idx", "text")
-    persisted = []
-    result = build_result(with_bucket(df, 64, 64), DEFAULT, 8, persisted)
+    result = build_result(with_bucket(df, 64, 64), DEFAULT, 8)
     plan = _plan(result)
-    try:
-        # pdf side: both conjuncts pushed
-        assert "PushedFilters: [IsNotNull(text), " \
-            "StringStartsWith(text,JVBERi)]" in plan
-        # light side: the never-three-valued complement is pushed too
-        assert "Or(IsNull(text),Not(StringStartsWith(text,JVBERi)))" in plan
-        # column pruning: no physical scan reads role/tool/ts
-        import re
-        for rs in re.findall(r"ReadSchema: (\S+)", plan):
-            assert "role" not in rs and "tool" not in rs and "ts:" not in rs
-        # hot-key routing is broadcast, turns shuffle once
-        assert "LeftAnti" in plan and "LeftSemi" in plan
-    finally:
-        for f in persisted:
-            f.unpersist()
+    # pdf side: both conjuncts pushed
+    assert "PushedFilters: [IsNotNull(text), " \
+        "StringStartsWith(text,JVBERi)]" in plan
+    # light side: the never-three-valued complement is pushed too
+    assert "Or(IsNull(text),Not(StringStartsWith(text,JVBERi)))" in plan
+    # column pruning: no physical scan reads role/tool/ts
+    import re
+    for rs in re.findall(r"ReadSchema: (\S+)", plan):
+        assert "role" not in rs and "tool" not in rs and "ts:" not in rs
+    # round-robin decode spread survives (not swallowed by AQE reuse)
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_mean_of_means_broadcasts_dim(spark):
