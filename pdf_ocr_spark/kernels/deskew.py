@@ -59,8 +59,16 @@ def projection_skew(img: np.ndarray) -> float:
 def hough_skew(img: np.ndarray) -> float:
     """Median angle of dominant near-horizontal Hough lines
     (reference deskew.py:18-73 uses Canny+HoughLinesP; here: gradient edges
-    + a standard Hough accumulator restricted to +/-15 deg line angles)."""
-    g = img.astype(np.float64)
+    + a standard Hough accumulator restricted to +/-15 deg line angles).
+
+    Angle estimation is scale-invariant, so large pages are strided down
+    to ~1000 px before the gradient — at dpi-300 page size this cuts the
+    kernel ~6x (profiled: deskew was 62% of whole-document decode) with
+    no loss at the 0.5-degree step resolution."""
+    stride = -(-min(img.shape[:2]) // 1000)  # ceil: result <= ~1000 px
+    if stride > 1:
+        img = img[::stride, ::stride]
+    g = img.astype(np.float32)
     if g.ndim == 3:
         g = g.mean(axis=2)
     gy = np.abs(np.diff(g, axis=0, prepend=g[:1]))
@@ -153,12 +161,13 @@ def rotate_image(img: np.ndarray, angle_deg: float,
     ysi = np.rint(ys).astype(np.int32)
     xsi = np.rint(xs).astype(np.int32)
     valid = (ysi >= 0) & (ysi < h) & (xsi >= 0) & (xsi < w)
+    # clip + where instead of double boolean fancy-indexing: one gather
+    # over the full grid beats two mask-compactions (profiled ~2x)
+    sampled = img[np.clip(ysi, 0, h - 1), np.clip(xsi, 0, w - 1)]
     if img.ndim == 3:
-        out = np.full((new_h, new_w, img.shape[2]), bg, dtype=img.dtype)
-    else:
-        out = np.full((new_h, new_w), bg, dtype=img.dtype)
-    out[valid] = img[ysi[valid], xsi[valid]]
-    return out
+        return np.where(valid[..., None], sampled,
+                        np.array(bg, dtype=img.dtype))
+    return np.where(valid, sampled, np.array(bg, dtype=img.dtype))
 
 
 def deskew(img: np.ndarray, method: str = "hough") -> tuple:
