@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 class EngineConfig:
     # --- detection (reference app/config.py:54) ---
     pdf_text_threshold: int = 50  # chars/page >= threshold => text page
+    max_payload_bytes: int = 100 * 1024 * 1024  # reference app/config.py:87
 
     # --- rendering (reference app/config.py:57-59) ---
     default_dpi: int = 300

@@ -38,9 +38,21 @@ def detect_payload_kind(text: str | None) -> str:
     return KIND_PLAIN
 
 
-def decode_pdf_payload(text: str) -> bytes:
-    """base64 -> bytes with %PDF magic validation (the reference's
-    validate_pdf magic check, app/core/file_manager.py:89-92)."""
+# reference MAX_UPLOAD_SIZE (app/config.py:87, enforced file_manager.py:60-96)
+MAX_PAYLOAD_BYTES = 100 * 1024 * 1024
+
+
+def decode_pdf_payload(text: str,
+                       max_bytes: int = MAX_PAYLOAD_BYTES) -> bytes:
+    """base64 -> bytes with size + %PDF magic validation (the reference's
+    validate_pdf checks, app/core/file_manager.py:60-96: size <= 100 MB,
+    magic prefix). The size limit is enforced from the base64 length
+    BEFORE decoding, so an oversized payload is rejected without ever
+    allocating its decoded bytes — at 10^12-turn scale a hostile 1 GB
+    payload must cost O(1), not O(size)."""
+    if len(text) * 3 // 4 > max_bytes:
+        raise ValueError(
+            f"payload exceeds max size ({max_bytes} bytes)")
     try:
         data = base64.b64decode(text, validate=False)
     except (binascii.Error, ValueError) as e:

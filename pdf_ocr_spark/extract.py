@@ -103,7 +103,7 @@ def _extract_pdf_doc(text: str, cfg: EngineConfig) -> tuple:
 
 def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
     try:
-        pdf = MiniPdf(decode_pdf_payload(text))
+        pdf = MiniPdf(decode_pdf_payload(text, cfg.max_payload_bytes))
     except ValueError as e:
         return "", [], "error", 0.0, 0, str(e)
     info = detect_pdf(pdf, threshold=cfg.pdf_text_threshold,

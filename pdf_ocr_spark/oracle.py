@@ -256,7 +256,7 @@ def extract_turn(text: str, cfg: EngineConfig = DEFAULT,
     # try/except (api/ocr.py:308-318)
     try:
         try:
-            data = decode_pdf_payload(text)
+            data = decode_pdf_payload(text, cfg.max_payload_bytes)
             pdf = MiniPdf(data)
         except ValueError as e:
             return TurnResult(extracted_text="", spans=[], method="error",

@@ -58,6 +58,29 @@ def test_both_sides_contain_and_agree(payload):
         assert conf == 0.0 and r.confidence == 0.0
 
 
+def test_oversized_payload_rejected_without_decode():
+    """Reference S1 size limit (app/config.py:87, 100 MB): an oversized
+    payload is rejected as an error row on both paths — and from the
+    base64 LENGTH, before allocating decoded bytes (a hostile 1 GB
+    payload must cost O(1) at 10^12-turn scale)."""
+    import dataclasses
+    from pdf_ocr_spark.detector import decode_pdf_payload
+    cfg = dataclasses.replace(DEFAULT, max_payload_bytes=1024)
+    payload = "JVBERi0" + "A" * 4000  # ~3 KB decoded > 1 KB limit
+    with pytest.raises(ValueError, match="max size"):
+        decode_pdf_payload(payload, cfg.max_payload_bytes)
+    r = oracle.extract_turn(payload, cfg)
+    text, spans, method, conf, n_pages, err = _extract_pdf_doc(payload, cfg)
+    assert r.method == method == "error"
+    assert "max size" in err and "max size" in r.error
+    assert r.extracted_text == text == ""
+    # a payload under the limit still decodes (magic check path)
+    small_cfg = dataclasses.replace(DEFAULT, max_payload_bytes=10 ** 6)
+    small = base64.b64encode(b"%PDF-1.4\nminimal").decode()
+    assert decode_pdf_payload(small, small_cfg.max_payload_bytes) \
+        .startswith(b"%PDF")
+
+
 def test_zlib_error_is_contained():
     # direct check that the corrupted Flate payload doesn't raise
     payload = _corrupt_flate_payload()
