@@ -149,9 +149,11 @@ def q_ann_ivf(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
               .withColumn("dot", F.expr(
                   "aggregate(zip_with(q_full, c_emb, (x, y) -> "
                   "cast(x as double) * y), 0D, (acc, v) -> acc + v)")))
-    wq = Window.orderBy(F.desc("dot"), "cent_id")
-    probe = (q_dots.withColumn("rn", F.row_number().over(wq))
-             .filter(F.col("rn") <= nprobe).select("cent_id"))
+    # orderBy+limit, not a global rank window: same deterministic
+    # (dot desc, cent_id) selection, but plans as TakeOrderedAndProject
+    # over the n_cents rows instead of a single-partition WindowExec
+    probe = (q_dots.orderBy(F.desc("dot"), "cent_id")
+             .limit(nprobe).select("cent_id"))
 
     q_emb = e.filter(F.col("vec_id") == 0) \
         .select(F.col("embedding").alias("q_emb"))
