@@ -41,6 +41,31 @@ def test_all_empty_paragraphs_yields_empty_chunks_quirk():
     assert split_into_chunks(text, max_chunk_chars=10) == [""] * 8
 
 
+def test_chunk_invariants_property():
+    """Hypothesis: for any text, (a) every chunk fits max_chunk_chars,
+    (b) no non-whitespace character is lost (the algorithm only drops
+    separator whitespace at chunk boundaries), (c) order is preserved."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        max_size=120), max_size=8).map("\n\n".join),
+        st.integers(min_value=8, max_value=64))
+    def check(text, max_chars):
+        chunks = split_into_chunks(text, max_chars)
+        if len(text) <= max_chars:
+            assert chunks == [text]
+            return
+        joined = "".join(chunks)
+        strip_ws = lambda s: "".join(s.split())
+        assert strip_ws(joined) == strip_ws(text)
+        for c in chunks:
+            assert len(c) <= max_chars
+
+    check()
+
+
 def test_merge_fallback_semantics():
     results = [
         ChunkResult("orig-a", "fmt-a", True),
