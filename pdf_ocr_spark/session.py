@@ -38,8 +38,13 @@ def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
         # advisoryPartitionSizeInBytes to executor memory.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # fat base64 rows: bound Arrow batch memory (SURVEY §7 hard parts)
+        # BOTH caps matter: records bounds thin-row batches, bytes bounds
+        # fat-payload batches (256 records of 100 MB payloads would
+        # otherwise materialize ~25 GB in one Python worker). 64 MB is
+        # the Spark 4 default — pinned so the guarantee is explicit.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(DEFAULT.arrow_max_records_per_batch))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # parquet dynamic partition overwrite = Iceberg overwritePartitions
