@@ -253,8 +253,109 @@ ORDER BY s.doc_id
 """
 
 
+# --- near-dup clustering (connected components over MinHash pairs) ---------
+_CLUSTER_JACCARD = 0.5
+
+
+def q_dedup_clusters(spark, sf_dir, jaccard_threshold=_CLUSTER_JACCARD,
+                     max_iters: int = 20):
+    """Near-duplicate clusters: MinHash/LSH pairs with Jaccard >=
+    threshold form edges; connected components assign every document the
+    MINIMUM doc_id reachable in its component (the canonical survivor in
+    keep-one-per-cluster dedup). Deterministic fixpoint — independent of
+    iteration order.
+
+    Implementation: min-label propagation — per round every doc takes the
+    min of its own label and its neighbors' labels; converged when the
+    global label sum stops falling (labels are monotone non-increasing).
+    Per-round localCheckpoint truncates the plan lineage so round N costs
+    one join + one aggregation, not a 2^N tree. Rounds needed = component
+    diameter; near-dup components are tiny cliques in practice. At
+    10^12-doc scale swap the loop body for the large-star/small-star
+    rounds of Kiveris et al. — same driver-loop skeleton, same invariant."""
+    from pyspark.sql import functions as F
+
+    pairs = q_dedup_minhash(spark, sf_dir) \
+        .filter(F.col("jaccard") >= jaccard_threshold) \
+        .select("doc_a", "doc_b")
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .localCheckpoint(eager=True))
+
+    labels = (t(spark, sf_dir, "documents")
+              .select("doc_id", F.col("doc_id").alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges.src == labels.doc_id)
+                .select(F.col("dst").alias("doc_id"), "cluster_id"))
+        labels = (labels.union(prop)
+                  .groupBy("doc_id")
+                  .agg(F.min("cluster_id").alias("cluster_id"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("cluster_id")
+    return (labels
+            .withColumn("cluster_size", F.count("*").over(w))
+            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+            .orderBy("doc_id"))
+
+
+def make_cluster_sql(jaccard_threshold=_CLUSTER_JACCARD,
+                     n_hashes: int = MINHASH_N_HASHES,
+                     n_bands: int = MINHASH_N_BANDS) -> str:
+    """DuckDB oracle twin: reachability via recursive CTE, cluster id =
+    min reachable doc_id — the same fixpoint the propagation loop finds."""
+    minhash = make_minhash_sql(n_hashes, n_bands).strip()
+    assert minhash.startswith("WITH")
+    # keep only the CTE chain (shingles..inter); drop the final SELECT
+    ctes = minhash[len("WITH"):].rsplit("\nSELECT i.doc_a", 1)[0].rstrip()
+    assert ctes.endswith(")")
+    return f"""
+WITH RECURSIVE {ctes}
+, pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         (floor((n_inter / (za.n_sh + zb.n_sh - n_inter)) * 1000000.0 + 0.5)
+          / 1000000.0) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  WHERE jaccard >= {jaccard_threshold}
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {jaccard_threshold}
+),
+reach(doc, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (
+  SELECT doc AS doc_id, min(root) AS cluster_id FROM reach GROUP BY doc
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM clusters ORDER BY doc_id
+"""
+
+
+SQL_DEDUP_CLUSTERS = make_cluster_sql()
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

@@ -79,6 +79,30 @@ def test_demo_parameters_still_work_but_recall_drops_structurally(
     assert demo <= prod  # bands 0-1 of prod ARE the demo bands (shared seeds)
 
 
+def test_cluster_transitivity_chain(spark, tmp_path):
+    """Connected components must merge a near-dup CHAIN a~b~c into one
+    cluster even when the a~c Jaccard is below threshold — the transitive
+    case pairwise dedup misses. Canonical = min doc_id."""
+    from pdf_ocr_spark.relational.dedup import q_dedup_clusters
+    words = [f"t{i:03d}" for i in range(90)]
+    a = words[0:60]            # 0..59
+    b = words[15:75]           # 45 shared with a (J ~ 0.6)
+    c = words[30:90]           # 45 shared with b, 30 with a (J ~ 0.33)
+    other = [f"z{i}" for i in range(60)]
+    docs = [" ".join(a), " ".join(b), " ".join(c), " ".join(other)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            q_dedup_clusters(spark, str(tmp_path)).collect()}
+    assert rows[0]["cluster_id"] == rows[1]["cluster_id"] \
+        == rows[2]["cluster_id"] == 0
+    assert rows[0]["cluster_size"] == 3
+    assert rows[0]["is_canonical"] and not rows[1]["is_canonical"]
+    assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
+
+
 def test_low_similarity_pairs_filtered_structurally(spark, corpus):
     """LSH precision: pairs far below the near-dup threshold should mostly
     NOT become candidates (banding cutoff, not post-filtering)."""
