@@ -15,12 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _fixture_path(tier: str = "unit") -> str:
-    """Deterministic transcripts fixture, generated once per machine."""
-    from pdf_ocr_spark.fixtures import generate_transcripts
+    """Deterministic transcripts fixture, generated once per machine
+    (cache keyed by FIXTURE_VERSION so content changes regenerate)."""
+    from pdf_ocr_spark.fixtures import FIXTURE_VERSION, generate_transcripts
 
     cache = os.path.join(tempfile.gettempdir(), "pdf_ocr_spark_fixtures")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"transcripts_{tier}.parquet")
+    path = os.path.join(
+        cache, f"transcripts_{tier}_v{FIXTURE_VERSION}.parquet")
     if not os.path.exists(path):
         generate_transcripts(path, tier=tier)
     return path

@@ -140,6 +140,11 @@ def _build_pool(rng: random.Random, n_pdf: int, n_html: int,
     return {"pdf": pdfs, "html": htmls}
 
 
+# bump when fixture CONTENT changes so path-keyed caches regenerate
+# (v2: added the NULL-payload turn to the unit tier)
+FIXTURE_VERSION = 2
+
+
 def generate_transcripts(out_path: str, tier: str = "unit",
                          n_convs: int | None = None,
                          n_pdf_pool: int | None = None,
