@@ -54,19 +54,21 @@ def main() -> None:
     from pdf_ocr_spark.relational import all_queries
     from pdf_ocr_spark.session import build_session
 
-    spark = build_session("pdf-ocr-spark-bench", cores=cpus,
-                          shuffle_partitions=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
     # --- headline: extraction throughput -------------------------------
-    # best-of-2: this sandbox shares its host with other tenants and
-    # single runs swing up to ~1.5x with neighbor load; the minimum wall
-    # approximates the least-interference run (same methodology as
-    # jobs/scaling_bench.py)
+    # best-of-2 against neighbor noise on this shared host — but each
+    # trial gets a FRESH SparkSession: Python workers (and their
+    # per-worker payload dedup cache, extract._PDF_CACHE) die with the
+    # context, so trial 2 re-decodes everything and the minimum is the
+    # least-interference run, not a warm-cache run (same fresh-process
+    # methodology as jobs/scaling_bench.py).
     fixture = _bench_fixture(n_convs)
     metrics, best_wall = None, None
     for trial in range(2):
+        spark = build_session("pdf-ocr-spark-bench", cores=cpus,
+                              shuffle_partitions=cpus)
+        spark.sparkContext.setLogLevel("ERROR")
         workdir = tempfile.mkdtemp(prefix="bench_extract_")
         try:
             t0 = time.time()
@@ -80,7 +82,12 @@ def main() -> None:
                 best_wall, metrics = wall, m
         finally:
             shutil.rmtree(workdir, ignore_errors=True)
+            spark.stop()
     timings["extract_transcripts"] = round(best_wall, 3)
+
+    spark = build_session("pdf-ocr-spark-bench-queries", cores=cpus,
+                          shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
 
     # --- relational suite ----------------------------------------------
     wanted = os.environ.get("BENCH_QUERIES")

@@ -10,12 +10,16 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+# reference MAX_UPLOAD_SIZE (app/config.py:87, enforced file_manager.py:60-96)
+# — single definition; detector.decode_pdf_payload's default derives from it
+MAX_PAYLOAD_BYTES = 100 * 1024 * 1024
+
 
 @dataclass(frozen=True)
 class EngineConfig:
     # --- detection (reference app/config.py:54) ---
     pdf_text_threshold: int = 50  # chars/page >= threshold => text page
-    max_payload_bytes: int = 100 * 1024 * 1024  # reference app/config.py:87
+    max_payload_bytes: int = MAX_PAYLOAD_BYTES  # reference app/config.py:87
 
     # --- rendering (reference app/config.py:57-59) ---
     default_dpi: int = 300

@@ -38,8 +38,7 @@ def detect_payload_kind(text: str | None) -> str:
     return KIND_PLAIN
 
 
-# reference MAX_UPLOAD_SIZE (app/config.py:87, enforced file_manager.py:60-96)
-MAX_PAYLOAD_BYTES = 100 * 1024 * 1024
+from .config import MAX_PAYLOAD_BYTES
 
 
 def decode_pdf_payload(text: str,
@@ -49,10 +48,18 @@ def decode_pdf_payload(text: str,
     magic prefix). The size limit is enforced from the base64 length
     BEFORE decoding, so an oversized payload is rejected without ever
     allocating its decoded bytes — at 10^12-turn scale a hostile 1 GB
-    payload must cost O(1), not O(size)."""
+    payload must cost O(1), not O(size). Payloads whose cheap estimate
+    exceeds the limit get one exact pass discounting whitespace
+    (b64decode ignores it), so MIME line-wrapped payloads near the limit
+    are not falsely rejected — no allocation either way."""
     if len(text) * 3 // 4 > max_bytes:
-        raise ValueError(
-            f"payload exceeds max size ({max_bytes} bytes)")
+        # exact size: discount whitespace (b64decode skips it) and
+        # padding ('=' encodes no bytes) — still no allocation
+        ws = sum(text.count(c) for c in "\n\r \t")
+        pad = text.count("=")
+        if (len(text) - ws) * 3 // 4 - pad > max_bytes:
+            raise ValueError(
+                f"payload exceeds max size ({max_bytes} bytes)")
     try:
         data = base64.b64decode(text, validate=False)
     except (binascii.Error, ValueError) as e:

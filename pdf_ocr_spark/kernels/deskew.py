@@ -84,7 +84,6 @@ def hough_skew(img: np.ndarray) -> float:
     angles = np.arange(-_MAX_ANGLE, _MAX_ANGLE + _STEP / 2, _STEP)
     diag = int(np.hypot(*img.shape[:2])) + 1
     votes = np.empty(len(angles))
-    peak_rho_angles = []
     for i, a in enumerate(angles):
         # line angle a => normal angle a+90; rho = x*cos(n) + y*sin(n)
         t = np.deg2rad(a + 90.0)
@@ -93,7 +92,6 @@ def hough_skew(img: np.ndarray) -> float:
             np.floor(rho + diag).astype(int), minlength=2 * diag
         )
         votes[i] = counts.max()
-        peak_rho_angles.append(a)
     # top-5 vote angles, median (robust like the reference's median of line
     # segment angles, deskew.py:58-69)
     top = np.argsort(votes)[-5:]

@@ -175,6 +175,7 @@ class DeterministicOCREngine:
 
 
 _ENGINE = None
+_ENGINE_BACKEND = None
 
 
 def get_engine(backend: str | None = None):
@@ -186,17 +187,26 @@ def get_engine(backend: str | None = None):
     requires paddleocr on the executors). Also settable via the
     ``SPARK_GRAFT_OCR_BACKEND`` env var, which executors inherit through
     ``spark.executorEnv.*``."""
-    global _ENGINE
+    global _ENGINE, _ENGINE_BACKEND
     if _ENGINE is None:
         import os
-        backend = backend or os.environ.get(
+        resolved = backend or os.environ.get(
             "SPARK_GRAFT_OCR_BACKEND", "deterministic")
-        if backend == "paddle":
+        if resolved == "paddle":
             from .paddle_adapter import PaddleOCRAdapter
             _ENGINE = PaddleOCRAdapter()
-        elif backend == "deterministic":
+        elif resolved == "deterministic":
             _ENGINE = DeterministicOCREngine()
         else:
-            raise ValueError(f"unknown OCR backend: {backend}")
+            raise ValueError(f"unknown OCR backend: {resolved}")
+        _ENGINE_BACKEND = resolved
         _ENGINE.warmup()
+    elif backend is not None and backend != _ENGINE_BACKEND:
+        # an EXPLICITLY requested backend must never be silently ignored
+        # by first-call-wins caching — that would hand a Paddle-configured
+        # job deterministic-engine output with no error
+        raise RuntimeError(
+            f"OCR engine already initialized with backend "
+            f"'{_ENGINE_BACKEND}'; cannot switch to '{backend}' in this "
+            f"process")
     return _ENGINE

@@ -144,7 +144,7 @@ def _sig_sql(n_hashes: int) -> str:
 def make_minhash_sql(n_hashes: int = MINHASH_N_HASHES,
                      n_bands: int = MINHASH_N_BANDS) -> str:
     """DuckDB oracle twin of q_dedup_minhash at the same parameters."""
-    assert n_hashes % n_bands == 0
+    assert n_hashes % n_bands == 0 and n_hashes <= len(MINHASH_A)
     r = n_hashes // n_bands
     band_selects = "\n    UNION ALL ".join(
         "SELECT doc_id, {idx} AS band_idx, {key} AS band_key FROM sigs"

@@ -81,6 +81,37 @@ def test_oversized_payload_rejected_without_decode():
         .startswith(b"%PDF")
 
 
+def test_mime_wrapped_payload_near_limit_not_falsely_rejected():
+    """b64decode ignores whitespace, so the cheap size estimate must too:
+    a MIME line-wrapped payload whose RAW length exceeds the limit but
+    whose alphabet length does not must decode (reference checks the
+    actual decoded size, file_manager.py:60-96)."""
+    from pdf_ocr_spark.detector import decode_pdf_payload
+    raw = b"%PDF-1.4\n" + b"x" * 700  # ~708 bytes decoded
+    b64 = base64.b64encode(raw).decode()        # ~948 chars
+    wrapped = "\n".join(b64[i:i + 76] for i in range(0, len(b64), 76))
+    limit = 710
+    assert len(wrapped) * 3 // 4 > limit        # naive estimate rejects
+    assert decode_pdf_payload(wrapped, limit).startswith(b"%PDF")
+    # ...but genuinely oversized still rejected even when wrapped
+    with pytest.raises(ValueError, match="max size"):
+        decode_pdf_payload(wrapped, 600)
+
+
+def test_engine_backend_explicit_mismatch_raises():
+    import pdf_ocr_spark.ocr.engine as em
+    old_e, old_b = em._ENGINE, em._ENGINE_BACKEND
+    try:
+        em._ENGINE, em._ENGINE_BACKEND = None, None
+        em.get_engine("deterministic")
+        with pytest.raises(RuntimeError, match="already initialized"):
+            em.get_engine("paddle")
+        # implicit calls still return the cached engine
+        assert em.get_engine() is em._ENGINE
+    finally:
+        em._ENGINE, em._ENGINE_BACKEND = old_e, old_b
+
+
 def test_zlib_error_is_contained():
     # direct check that the corrupted Flate payload doesn't raise
     payload = _corrupt_flate_payload()
