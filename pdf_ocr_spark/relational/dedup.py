@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .util import (
     round6, MINHASH_A, MINHASH_B, MINHASH_N_BANDS, MINHASH_N_HASHES, MOD,
-    hash60_sql, t,
+    connected_components, hash60_sql, t,
 )
 
 _SHINGLE_EXPR = (
@@ -260,53 +260,19 @@ _CLUSTER_JACCARD = 0.5
 def q_dedup_clusters(spark, sf_dir, jaccard_threshold=_CLUSTER_JACCARD,
                      max_iters: int = 20):
     """Near-duplicate clusters: MinHash/LSH pairs with Jaccard >=
-    threshold form edges; connected components assign every document the
-    MINIMUM doc_id reachable in its component (the canonical survivor in
-    keep-one-per-cluster dedup). Deterministic fixpoint — independent of
-    iteration order.
-
-    Implementation: min-label propagation — per round every doc takes the
-    min of its own label and its neighbors' labels; converged when the
-    global label sum stops falling (labels are monotone non-increasing).
-    Per-round localCheckpoint truncates the plan lineage so round N costs
-    one join + one aggregation, not a 2^N tree. Rounds needed = component
-    diameter; near-dup components are tiny cliques in practice. At
-    10^12-doc scale swap the loop body for the large-star/small-star
-    rounds of Kiveris et al. — same driver-loop skeleton, same invariant."""
-    from pyspark.sql import functions as F
-
+    threshold form edges; connected components (util.connected_components
+    — min-label propagation, deterministic fixpoint) assign every
+    document the MINIMUM doc_id reachable in its component — the
+    canonical survivor in keep-one-per-cluster dedup."""
     pairs = q_dedup_minhash(spark, sf_dir) \
         .filter(F.col("jaccard") >= jaccard_threshold) \
         .select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
-                                 F.col("doc_a").alias("dst")))
-             .localCheckpoint(eager=True))
-
-    labels = (t(spark, sf_dir, "documents")
-              .select("doc_id", F.col("doc_id").alias("cluster_id"))
-              .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-    for _ in range(max_iters):
-        prop = (edges.join(labels, edges.src == labels.doc_id)
-                .select(F.col("dst").alias("doc_id"), "cluster_id"))
-        labels = (labels.union(prop)
-                  .groupBy("doc_id")
-                  .agg(F.min("cluster_id").alias("cluster_id"))
-                  .localCheckpoint(eager=True))
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-
-    from pyspark.sql.window import Window
-    w = Window.partitionBy("cluster_id")
-    return (labels
-            .withColumn("cluster_size", F.count("*").over(w))
-            .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
-            .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
-            .orderBy("doc_id"))
+                                 F.col("doc_a").alias("dst"))))
+    return connected_components(
+        t(spark, sf_dir, "documents"), edges, "doc_id", max_iters)
 
 
 def make_cluster_sql(jaccard_threshold=_CLUSTER_JACCARD,

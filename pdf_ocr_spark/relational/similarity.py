@@ -357,8 +357,60 @@ ORDER BY vec_a, vec_b
 """
 
 
+# --- embedding near-dup clusters (components over cosine pairs) ------------
+def q_dedup_embedding_clusters(spark, sf_dir, max_iters: int = 20):
+    """Embedding-space near-dup clusters: LSH-bucketed cosine>=0.99 pairs
+    (q_dedup_embedding_cosine — candidates only, never a cross join) form
+    edges; connected components label every vector with the minimum
+    vec_id reachable — the canonical survivor for embedding-level
+    keep-one dedup. Same deterministic machinery as dedup_clusters."""
+    from .util import connected_components
+    pairs = q_dedup_embedding_cosine(spark, sf_dir) \
+        .select("vec_a", "vec_b")
+    edges = (pairs.select(F.col("vec_a").alias("src"),
+                          F.col("vec_b").alias("dst"))
+             .union(pairs.select(F.col("vec_b").alias("src"),
+                                 F.col("vec_a").alias("dst"))))
+    e = t(spark, sf_dir, "embeddings").select("vec_id")
+    return connected_components(e, edges, "vec_id", max_iters)
+
+
+SQL_DEDUP_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket
+  FROM embeddings
+),
+cpairs AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         x.embedding AS emb_a, y.embedding AS q_emb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+),
+near AS (
+  SELECT vec_a, vec_b FROM cpairs
+  WHERE {_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) >= 0.99
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM near
+  UNION ALL SELECT vec_b, vec_a FROM near
+),
+reach(v, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.v
+),
+clusters AS (SELECT v AS vec_id, min(root) AS cluster_id FROM reach
+             GROUP BY v)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM clusters ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters,
+                                 SQL_DEDUP_EMBEDDING_CLUSTERS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine,
                                SQL_DEDUP_EMBEDDING_COSINE),
     "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),

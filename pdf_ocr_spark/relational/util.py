@@ -69,6 +69,48 @@ def _lcg_ints(seed: int, n: int, lo: int, hi: int) -> list:
     return out
 
 
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         id_col: str, max_iters: int = 20) -> DataFrame:
+    """Connected components by min-label propagation: every node ends up
+    labeled with the MINIMUM id reachable in its component (deterministic
+    fixpoint, independent of iteration order). ``edges`` must be
+    symmetric (src, dst both directions).
+
+    Per-round localCheckpoint truncates plan lineage so round N costs one
+    join + one aggregation; rounds needed = component diameter (near-dup
+    components are tiny cliques in practice). Convergence = the global
+    label sum stops falling (labels are monotone non-increasing). At
+    10^12-node scale swap the loop body for large-star/small-star rounds
+    (Kiveris et al.) — same skeleton, same invariant.
+
+    Returns (id_col, cluster_id, cluster_size, is_canonical)."""
+    from pyspark.sql.window import Window
+
+    edges = edges.localCheckpoint(eager=True)
+    labels = (nodes.select(id_col, F.col(id_col).alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = (edges.join(labels, edges["src"] == labels[id_col])
+                .select(F.col("dst").alias(id_col), "cluster_id"))
+        labels = (labels.union(prop)
+                  .groupBy(id_col)
+                  .agg(F.min("cluster_id").alias("cluster_id"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    w = Window.partitionBy("cluster_id")
+    return (labels
+            .withColumn("cluster_size", F.count("*").over(w))
+            .withColumn("is_canonical",
+                        F.col(id_col) == F.col("cluster_id"))
+            .select(id_col, "cluster_id", "cluster_size", "is_canonical")
+            .orderBy(id_col))
+
+
 # MinHash: H independent hashes h_j(s) = (a_j * (hash60(s) % MOD) + b_j) % MOD
 # 128 pre-generated hash functions; queries slice the first n_hashes so
 # demo (8/2) and production (64/16, 128/32) parameterizations share seeds.

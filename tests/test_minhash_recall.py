@@ -103,6 +103,33 @@ def test_cluster_transitivity_chain(spark, tmp_path):
     assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
 
 
+def test_embedding_cluster_positive_case(spark, tmp_path):
+    """The driver-testdata embeddings hold no cosine>=0.99 near-dups, so
+    the oracle check exercises only the singleton path; this synthetic
+    fixture proves the edge path: three near-identical vectors cluster
+    under the minimum vec_id, the unrelated vector stays a singleton."""
+    import numpy as np
+    from pdf_ocr_spark.relational.similarity import (
+        q_dedup_embedding_clusters)
+    rng = np.random.RandomState(7)
+    base = rng.randn(64).astype(np.float32)
+    vecs = [base, base + rng.randn(64).astype(np.float32) * 0.001,
+            rng.randn(64).astype(np.float32), base * 1.0001]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 0], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    got = {r["vec_id"]: (r["cluster_id"], r["cluster_size"],
+                         r["is_canonical"])
+           for r in q_dedup_embedding_clusters(spark,
+                                               str(tmp_path)).collect()}
+    assert got[0] == (0, 3, True)
+    assert got[1] == (0, 3, False) and got[3] == (0, 3, False)
+    assert got[2] == (2, 1, True)
+
+
 def test_low_similarity_pairs_filtered_structurally(spark, corpus):
     """LSH precision: pairs far below the near-dup threshold should mostly
     NOT become candidates (banding cutoff, not post-filtering)."""

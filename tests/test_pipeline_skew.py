@@ -120,12 +120,26 @@ def test_viral_attachment_aqe_splits_skewed_join(spark, viral_fixture):
     assert "skewed" in plan  # AQEShuffleRead ... skewed
 
 
+def test_viral_broadcast_plan(spark, viral_fixture):
+    """With default thresholds the decoded distinct payloads are small
+    enough that AQE broadcasts them — asserted on the executed final
+    plan: the join-back is a BroadcastHashJoin, so the turns side never
+    shuffles by ph and the viral key cannot skew anything."""
+    from pdf_ocr_spark.config import DEFAULT
+    from pdf_ocr_spark.pipeline import build_result, with_bucket
+    df = spark.read.parquet(viral_fixture["path"])
+    result = build_result(with_bucket(df, 16, 64), DEFAULT, 8)
+    result.collect()
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("== Initial Plan ==")[0]
+
+
 def test_viral_attachment_broadcast_path_and_equality(spark, viral_fixture,
                                                       tmp_path_factory):
-    """With default thresholds the decoded distinct payloads are small
-    enough that AQE broadcasts them — then the turns side never shuffles
-    by ph at all and the viral key cannot skew anything. Correctness:
-    every hot turn extracted byte-identically."""
+    """Correctness on the broadcast path: every hot turn extracted
+    byte-identically."""
     from pyspark.sql import functions as F
     from pdf_ocr_spark.pipeline import run_extraction
 
