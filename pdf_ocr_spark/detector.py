@@ -40,6 +40,15 @@ def detect_payload_kind(text: str | None) -> str:
 
 from .config import MAX_PAYLOAD_BYTES
 
+# str.translate table deleting the 64 base64 data characters; what survives
+# is exactly the set b64decode(validate=False) ignores (whitespace, '=',
+# and any other non-alphabet byte), so the exact-size pass below matches
+# the decoder's own skipping rule (ADVICE r2: whitespace-only counting
+# falsely rejected payloads padded with other ignored characters).
+_B64_DATA_CHARS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                   "abcdefghijklmnopqrstuvwxyz0123456789+/")
+_DEL_B64_DATA = str.maketrans("", "", _B64_DATA_CHARS)
+
 
 def decode_pdf_payload(text: str,
                        max_bytes: int = MAX_PAYLOAD_BYTES) -> bytes:
@@ -49,15 +58,18 @@ def decode_pdf_payload(text: str,
     BEFORE decoding, so an oversized payload is rejected without ever
     allocating its decoded bytes — at 10^12-turn scale a hostile 1 GB
     payload must cost O(1), not O(size). Payloads whose cheap estimate
-    exceeds the limit get one exact pass discounting whitespace
-    (b64decode ignores it), so MIME line-wrapped payloads near the limit
-    are not falsely rejected — no allocation either way."""
+    exceeds the limit get one exact pass counting only base64 data
+    characters (b64decode skips everything else — whitespace, padding,
+    arbitrary junk bytes alike), so MIME line-wrapped or junk-padded
+    payloads near the limit are never falsely rejected. The exact pass
+    allocates at most the ignored-character substring (bounded by the
+    input string already in memory), never the decoded bytes."""
     if len(text) * 3 // 4 > max_bytes:
-        # exact size: discount whitespace (b64decode skips it) and
-        # padding ('=' encodes no bytes) — still no allocation
-        ws = sum(text.count(c) for c in "\n\r \t")
-        pad = text.count("=")
-        if (len(text) - ws) * 3 // 4 - pad > max_bytes:
+        # exact data-char count: translate-delete the alphabet, what's
+        # left is the ignored chars; '=' encodes no bytes so it is
+        # (correctly) excluded from the data count
+        n_data = len(text) - len(text.translate(_DEL_B64_DATA))
+        if n_data * 3 // 4 > max_bytes:
             raise ValueError(
                 f"payload exceeds max size ({max_bytes} bytes)")
     try:

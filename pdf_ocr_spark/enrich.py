@@ -120,6 +120,7 @@ def enrich_reformat(
     extracted: DataFrame,
     reformat_chunk: Callable[[str], ChunkResult],
     max_chunk_chars: int = DEFAULT_MAX_CHUNK_CHARS,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """The enrichment stage: extracted turns -> chunk -> per-chunk callable
     -> merged formatted text, as an Arrow-batched ``mapInPandas`` stage.
@@ -127,7 +128,13 @@ def enrich_reformat(
     ``reformat_chunk`` is the external-LLM boundary; exceptions it raises
     are contained per chunk as failed ChunkResults (the reference's
     per-chunk try/except, reformatter.py:115-121), so one bad chunk can
-    never fail the stage."""
+    never fail the stage.
+
+    ``passthrough`` names extra input columns copied to the output
+    unchanged (e.g. ("bucket",) so the pipeline can write the enriched
+    table bucket-partitioned without a join back)."""
+    schema = StructType(ENRICH_SCHEMA.fields + [
+        extracted.schema[c] for c in passthrough])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -154,7 +161,10 @@ def enrich_reformat(
                 out["chunks_total"].append(merged["chunks_total"])
                 out["chunks_processed"].append(merged["chunks_processed"])
                 out["ai_error"].append(merged["error"])
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in passthrough:
+                res[c] = batch[c].values
+            yield res
 
-    return extracted.select("conv_id", "turn_idx", "extracted_text") \
-        .mapInPandas(run, schema=ENRICH_SCHEMA)
+    cols = ["conv_id", "turn_idx", "extracted_text", *passthrough]
+    return extracted.select(*cols).mapInPandas(run, schema=schema)

@@ -43,10 +43,17 @@ _PDF_CACHE: dict = {}
 _PDF_CACHE_MAX = 512
 
 
-def _pdf_cache_get(payload: str):
+def _pdf_cache_get(payload: str, counters: dict | None = None):
+    """Cache lookup; ``counters`` is an optional dict of Spark
+    accumulators ("cache_hits"/"cache_misses") so bench/lineage can
+    attribute throughput to cold decodes vs warm hits (VERDICT r2 #7)."""
     import hashlib
     key = hashlib.md5(payload.encode()).digest()
-    return _PDF_CACHE.get(key)
+    hit = _PDF_CACHE.get(key)
+    if counters is not None:
+        counters["cache_hits" if hit is not None else "cache_misses"] \
+            .add(1)
+    return hit
 
 
 def _pdf_cache_put(payload: str, value) -> None:
@@ -172,8 +179,8 @@ def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
             info.page_count, None)
 
 
-def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
-        -> pd.DataFrame:
+def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
+                          counters: dict | None = None) -> pd.DataFrame:
     """Extract a batch of *distinct PDF payloads* (the dedup-before-decode
     pre-pass): one decode per unique payload cluster-wide. Returns the same
     RESULT_COLUMNS frame as extract_batch."""
@@ -187,7 +194,7 @@ def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
     for i in range(n):
         t0 = time.perf_counter_ns()
         key = vals[i]
-        hit = _pdf_cache_get(key)
+        hit = _pdf_cache_get(key, counters)
         if hit is None:
             hit = _extract_pdf_doc(key, cfg)
             _pdf_cache_put(key, hit)
@@ -206,8 +213,8 @@ def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
     }, index=texts.index)
 
 
-def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
-        -> pd.DataFrame:
+def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
+                  counters: dict | None = None) -> pd.DataFrame:
     """Extract a batch of turn payloads -> result frame (RESULT_COLUMNS)."""
     n = len(texts)
     kinds = route_kinds(texts)
@@ -274,7 +281,7 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT) \
     for i in pdf_idx:
         t0 = time.perf_counter_ns()
         key = vals[i]
-        hit = _pdf_cache_get(key)
+        hit = _pdf_cache_get(key, counters)
         if hit is None:
             hit = _extract_pdf_doc(key, cfg)
             _pdf_cache_put(key, hit)

@@ -26,12 +26,15 @@ _SHINGLE_SQL = (
 )
 
 
-def _shingles(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
-    return (d.select("doc_id", F.split("text", " ").alias("w"))
+def _shingles_of(docs):
+    return (docs.select("doc_id", F.split("text", " ").alias("w"))
             .filter(F.size("w") >= 3)
             .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
             .distinct())
+
+
+def _shingles(spark, sf_dir):
+    return _shingles_of(t(spark, sf_dir, "documents"))
 
 
 _SHINGLES_CTE = f"""
@@ -79,21 +82,17 @@ def _sig_cols(n_hashes: int):
     ]
 
 
-def q_dedup_minhash(spark, sf_dir,
-                    n_hashes: int = MINHASH_N_HASHES,
-                    n_bands: int = MINHASH_N_BANDS):
-    """MinHash signatures over word 3-gram shingles, banded LSH ->
-    candidate pairs by band collision -> exact Jaccard verification.
-    Production defaults 64 hashes / 16 bands (r=4: collision prob 0.986 at
-    J=0.7, 0.33 at J=0.3); parameterizable down to the 8/2 demo shape.
-
-    Scale shape: bands explode to (band_idx, band_key) rows and candidates
-    come from ONE equi-join on that pair (shuffles only signature rows,
-    never documents — and one join regardless of band count); Jaccard
-    verify joins shingle sets for candidate pairs only."""
+def minhash_band_candidates(sh, n_hashes: int, n_bands: int,
+                            max_band_bucket: int | None = None):
+    """Band-collision candidate pairs (doc_a < doc_b) over a shingle
+    frame. ``max_band_bucket`` optionally drops band buckets larger than
+    the cap from the join (logged overflow count) — the escape hatch for
+    adversarial near-identical corpora where a shared band key held by m
+    docs would otherwise yield m^2/2 candidates. Off by default: the
+    exact-dedup pre-pass in q_dedup_minhash already collapses the common
+    degenerate case (byte-identical docs) to one representative."""
     assert n_hashes % n_bands == 0 and n_hashes <= len(MINHASH_A)
     r = n_hashes // n_bands
-    sh = _shingles(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
         ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
@@ -104,19 +103,37 @@ def q_dedup_minhash(spark, sf_dir,
         for b in range(n_bands)])
     banded = sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key"))
+    if max_band_bucket is not None:
+        over = (banded.groupBy("band_idx", "band_key")
+                .agg(F.count("*").alias("bn"))
+                .filter(F.col("bn") > max_band_bucket)
+                .select("band_idx", "band_key"))
+        n_over = over.count()
+        if n_over:
+            import logging
+            logging.getLogger(__name__).warning(
+                "minhash_band_candidates: dropping %d band buckets over "
+                "cap %d (recall loss for their members)",
+                n_over, max_band_bucket)
+        banded = banded.join(F.broadcast(over),
+                             ["band_idx", "band_key"], "left_anti")
     a = banded.select(F.col("doc_id").alias("doc_a"), "band_idx",
                       "band_key")
     b = banded.select(F.col("doc_id").alias("doc_b"), "band_idx",
                       "band_key")
-    cand = (a.join(b, ["band_idx", "band_key"])
+    return (a.join(b, ["band_idx", "band_key"])
             .select("doc_a", "doc_b")
             .filter(F.col("doc_a") < F.col("doc_b")).distinct())
+
+
+def _verify_jaccard(cand, sh):
+    """Exact Jaccard over candidate pairs only (shingle-set equi-joins)."""
     sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
     inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "s"])
              .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    out = (
+    return (
         inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a")
               .withColumnRenamed("n_sh", "size_a"), "doc_a")
@@ -127,9 +144,70 @@ def q_dedup_minhash(spark, sf_dir,
             round6(F.col("n_inter")
                     / (F.col("size_a") + F.col("size_b")
                        - F.col("n_inter"))))
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b"))
-    return out
+        .select("doc_a", "doc_b", "jaccard"))
+
+
+def q_dedup_minhash(spark, sf_dir,
+                    n_hashes: int = MINHASH_N_HASHES,
+                    n_bands: int = MINHASH_N_BANDS,
+                    max_band_bucket: int | None = None):
+    """MinHash signatures over word 3-gram shingles, banded LSH ->
+    candidate pairs by band collision -> exact Jaccard verification.
+    Production defaults 64 hashes / 16 bands (r=4: collision prob 0.986 at
+    J=0.7, 0.33 at J=0.3); parameterizable down to the 8/2 demo shape.
+
+    Exact-dedup pre-pass (VERDICT r2 #3): byte-identical documents are
+    LSH banding's degenerate case — m copies of one text share every band
+    key and would enter the verify stage as m^2/2 candidates. The
+    pre-pass groups documents by md5(text), runs shingle/MinHash/verify
+    over one representative per distinct text, then reassociates:
+    intra-group pairs are emitted directly with jaccard = 1.0 (identical
+    shingle sets — no verification needed) and representative-pair
+    jaccards fan out to their group members. Output is row-identical to
+    the naive algorithm (the DuckDB oracle twin keeps the naive form);
+    candidate count entering the verify stage is per-distinct-text, so
+    duplicate-heavy corpora cost O(distinct), not O(n^2) —
+    tests/test_minhash_recall.py pins this on a 1k-identical fixture.
+    ``max_band_bucket`` additionally caps band buckets for
+    near-identical-but-unequal corpora (recall loss, logged).
+
+    Scale shape: bands explode to (band_idx, band_key) rows and candidates
+    come from ONE equi-join on that pair (shuffles only signature rows,
+    never documents — and one join regardless of band count); Jaccard
+    verify joins shingle sets for candidate pairs only."""
+    d = t(spark, sf_dir, "documents")
+    groups = d.select("doc_id", F.md5("text").alias("th"))
+    reps = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
+    members = groups.join(reps, "th")  # (th, doc_id, rep_id)
+    rep_docs = d.join(reps.select(F.col("rep_id").alias("doc_id")),
+                      "doc_id", "left_semi")
+
+    sh = _shingles_of(rep_docs)
+    cand = minhash_band_candidates(sh, n_hashes, n_bands, max_band_bucket)
+    rep_pairs = _verify_jaccard(cand, sh)
+
+    # intra-group pairs: identical texts => jaccard exactly 1.0, but only
+    # for texts that produce shingles at all (>= 3 words) — shingle-less
+    # docs never band-collide in the naive algorithm either
+    elig = (rep_docs.filter(F.size(F.split("text", " ")) >= 3)
+            .select(F.col("doc_id").alias("rep_id")))
+    emembers = members.join(elig, "rep_id")
+    p = emembers.select("th", F.col("doc_id").alias("doc_a"))
+    q = emembers.select("th", F.col("doc_id").alias("doc_b"))
+    intra = (p.join(q, "th").filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard")))
+
+    # inter-group fan-out: a rep pair's jaccard holds for every member
+    # pair (identical shingle sets within a group)
+    ma = members.select(F.col("rep_id").alias("doc_a"),
+                        F.col("doc_id").alias("xa"))
+    mb = members.select(F.col("rep_id").alias("doc_b"),
+                        F.col("doc_id").alias("xb"))
+    inter = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("xa", "xb").alias("doc_a"),
+                     F.greatest("xa", "xb").alias("doc_b"), "jaccard"))
+
+    return intra.unionByName(inter).orderBy("doc_a", "doc_b")
 
 
 def _sig_sql(n_hashes: int) -> str:

@@ -83,6 +83,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     10^12-node scale swap the loop body for large-star/small-star rounds
     (Kiveris et al.) — same skeleton, same invariant.
 
+    Raises RuntimeError if the label sum has not stabilized after
+    ``max_iters`` rounds (component diameter > max_iters): an unconverged
+    labeling silently splits clusters and diverges from the recursive-CTE
+    oracle (ADVICE r2) — failing loudly is the only correct behavior for
+    an equality-gated operator.
+
     Returns (id_col, cluster_id, cluster_size, is_canonical)."""
     from pyspark.sql.window import Window
 
@@ -90,6 +96,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     labels = (nodes.select(id_col, F.col(id_col).alias("cluster_id"))
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    converged = False
     for _ in range(max_iters):
         prop = (edges.join(labels, edges["src"] == labels[id_col])
                 .select(F.col("dst").alias(id_col), "cluster_id"))
@@ -99,8 +106,14 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                   .localCheckpoint(eager=True))
         cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(component diameter exceeds max_iters); raise max_iters or "
+            f"switch to large-star/small-star rounds for long-chain graphs")
 
     w = Window.partitionBy("cluster_id")
     return (labels

@@ -130,6 +130,78 @@ def test_embedding_cluster_positive_case(spark, tmp_path):
     assert got[2] == (2, 1, True)
 
 
+def test_degenerate_identical_corpus_candidates_stay_linear(
+        spark, tmp_path):
+    """LSH banding's degenerate case (VERDICT r2 #3): 1k byte-identical
+    docs share every band key -> the naive algorithm would push ~500k
+    candidate pairs into the Jaccard verify stage. The exact-dedup
+    pre-pass collapses them to ONE representative, so the verify stage
+    sees zero intra-group candidates; the query output still reports all
+    pairs (jaccard 1.0) via reassociation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pdf_ocr_spark.relational.dedup import (
+        _shingles_of, minhash_band_candidates, q_dedup_minhash)
+
+    same = " ".join(f"dup{i:02d}" for i in range(40))
+    distinct = [" ".join(f"x{d}w{i:02d}" for i in range(40))
+                for d in range(3)]
+    docs = [same] * 1000 + distinct
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    # verify-stage candidate count at rep level: O(distinct texts), not
+    # O(n^2) — exactly what the pre-pass guarantees
+    d = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    groups = d.select("doc_id", F.md5("text").alias("th"))
+    reps = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = d.join(reps.select(F.col("rep_id").alias("doc_id")),
+                      "doc_id", "left_semi")
+    assert rep_docs.count() == 4  # 1 rep for the 1k copies + 3 distinct
+    n_cand = minhash_band_candidates(_shingles_of(rep_docs), 64, 16) \
+        .count()
+    assert n_cand <= 6  # at most rep-pair combinations, never ~500k
+
+    # output parity: all 1000*999/2 identical pairs present at J=1.0
+    out = q_dedup_minhash(spark, str(tmp_path))
+    assert out.count() == 1000 * 999 // 2
+    assert out.filter("jaccard <> 1.0").count() == 0
+    sample = out.filter("doc_a = 0 and doc_b = 999").collect()
+    assert len(sample) == 1 and sample[0]["jaccard"] == 1.0
+
+
+def test_band_bucket_cap_bounds_near_identical_blowup(spark, tmp_path):
+    """max_band_bucket: for near-identical-but-UNEQUAL corpora (one word
+    mutated per doc — exact dedup can't collapse them) the optional cap
+    drops oversized band buckets, bounding candidates at a logged recall
+    cost."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_ocr_spark.relational.dedup import q_dedup_minhash
+
+    base = [f"near{i:02d}" for i in range(50)]
+    docs = []
+    for d in range(60):
+        mut = list(base)
+        mut[d % 50] = f"mut{d:03d}"
+        docs.append(" ".join(mut))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    uncapped = q_dedup_minhash(spark, str(tmp_path)).count()
+    capped = q_dedup_minhash(spark, str(tmp_path),
+                             max_band_bucket=10).count()
+    # essentially all pairs band-collide (a couple of double-mutation
+    # pairs may miss): quadratic candidate load
+    assert uncapped >= 1700
+    assert capped < uncapped  # the cap actually bounded the join
+
+
 def test_low_similarity_pairs_filtered_structurally(spark, corpus):
     """LSH precision: pairs far below the near-dup threshold should mostly
     NOT become candidates (banding cutoff, not post-filtering)."""
