@@ -40,6 +40,11 @@ class EngineConfig:
     remove_header_footer: bool = True
     header_footer_repeat_threshold: int = 3
 
+    # --- PDF reader backend (minipdf.adapters.open_pdf) ---
+    # None -> SPARK_GRAFT_PDF_BACKEND env var -> "mini". "pymupdf" /
+    # "pdfplumber" mount the real-world readers (import-guarded).
+    pdf_backend: str | None = None
+
     # --- detection sampling (reference app/core/pdf_detector.py:61-67) ---
     detect_sample_page_limit: int = 50
     detect_sample_head: int = 15

@@ -23,7 +23,6 @@ from .config import DEFAULT, EngineConfig
 from .detector import decode_pdf_payload, detect_pdf
 from .html_extract import extract_html_blocks
 from .kernels import binarize, denoise, deskew
-from .minipdf import MiniPdf
 from .ocr import layout
 from .ocr.engine import get_engine
 
@@ -109,8 +108,10 @@ def _extract_pdf_doc(text: str, cfg: EngineConfig) -> tuple:
 
 
 def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
+    from .minipdf.adapters import open_pdf
     try:
-        pdf = MiniPdf(decode_pdf_payload(text, cfg.max_payload_bytes))
+        pdf = open_pdf(decode_pdf_payload(text, cfg.max_payload_bytes),
+                       backend=cfg.pdf_backend)
     except ValueError as e:
         return "", [], "error", 0.0, 0, str(e)
     info = detect_pdf(pdf, threshold=cfg.pdf_text_threshold,

@@ -16,7 +16,9 @@ deterministic bitmap font at authoring time.
 
 from .writer import ImagePage, ScanLine, TextPage, TextSpan, build_pdf
 from .reader import MiniPdf
+from .adapters import PdfPlumberReader, PyMuPdfReader, open_pdf
 
 __all__ = [
     "ImagePage", "ScanLine", "TextPage", "TextSpan", "build_pdf", "MiniPdf",
+    "PdfPlumberReader", "PyMuPdfReader", "open_pdf",
 ]

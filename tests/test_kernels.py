@@ -108,6 +108,28 @@ def test_deskew_default_method_is_hough():
     assert inspect.signature(d).parameters["method"].default == "hough"
 
 
+def test_hough_low_contrast_fidelity_deviation_pinned():
+    """Documented numeric-fidelity deviation (COVERAGE §2.3): hough_skew
+    uses an ABSOLUTE gradient floor (max(4*mean, 40)), not the reference's
+    Canny hysteresis (deskew.py:18-73) whose thresholds adapt to image
+    contrast. On a low-contrast scan (ink 235 on 255) the gradient step
+    (~20) sits under the floor, so hough finds no edges and returns 0.0 —
+    where Canny-based detection could still recover the angle. The
+    adaptive-threshold path (projection via Otsu) does recover it. This
+    pins the current behavior so any change is a conscious one."""
+    def bars(ink):
+        im = np.full((120, 200), 255, dtype=np.uint8)
+        for y in (30, 60, 90):
+            im[y:y + 8, 20:180] = ink
+        return im
+    low = rotate_image(bars(235), 3.0)
+    assert detect_skew_angle(low, "hough") == 0.0       # the deviation
+    assert abs(detect_skew_angle(bars(0), "hough")) <= 0.01
+    assert abs(detect_skew_angle(rotate_image(bars(0), 3.0), "hough")
+               + 3.0) <= 0.75                            # contrast OK
+    assert abs(detect_skew_angle(low, "projection") + 3.0) <= 0.75
+
+
 def test_skew_unknown_method():
     with pytest.raises(ValueError):
         detect_skew_angle(_noisy_text_image(), "bogus")

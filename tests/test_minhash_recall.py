@@ -103,6 +103,78 @@ def test_cluster_transitivity_chain(spark, tmp_path):
     assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
 
 
+def test_connected_components_long_chain_converges_by_pointer_jumping(
+        spark):
+    """A 300-node path graph has diameter 299: plain min-label
+    propagation would need ~300 rounds and now raises at max_iters=20.
+    The pointer-jumping step (r3) makes rounds O(log diameter), so the
+    chain must fully converge to cluster 0 within the default budget."""
+    from pyspark.sql import functions as F
+    from pdf_ocr_spark.relational.util import connected_components
+    n = 300
+    nodes = spark.range(n).select(F.col("id").alias("vid"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    rows = connected_components(nodes, edges, "vid",
+                                max_iters=20).collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert all(r["cluster_size"] == n for r in rows)
+    assert sum(r["is_canonical"] for r in rows) == 1
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    """Cross-check the distributed fixpoint against a driver-side
+    union-find on a random graph (multiple components, cycles, isolated
+    nodes)."""
+    import random as rnd
+    from pyspark.sql import functions as F
+    from pdf_ocr_spark.relational.util import connected_components
+    rng = rnd.Random(5)
+    n = 120
+    pairs = {(rng.randrange(n), rng.randrange(n)) for _ in range(80)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+
+    nodes = spark.range(n).select(F.col("id").alias("vid"))
+    e = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long")
+    got = {r["vid"]: r["cluster_id"] for r in
+           connected_components(nodes, e, "vid").collect()}
+    assert got == want
+
+
+def test_connected_components_raises_when_budget_truly_exceeded(spark):
+    """ADVICE r2: an unconverged labeling must never be returned
+    silently. With max_iters=1 a 10-node chain cannot finish — the call
+    must raise instead of emitting split clusters."""
+    from pyspark.sql import functions as F
+    from pdf_ocr_spark.relational.util import connected_components
+    n = 10
+    nodes = spark.range(n).select(F.col("id").alias("vid"))
+    fwd = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, "vid", max_iters=1)
+
+
 def test_embedding_cluster_positive_case(spark, tmp_path):
     """The driver-testdata embeddings hold no cosine>=0.99 near-dups, so
     the oracle check exercises only the singleton path; this synthetic
