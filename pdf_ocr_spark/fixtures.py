@@ -142,7 +142,7 @@ def _build_pool(rng: random.Random, n_pdf: int, n_html: int,
 
 # bump when fixture CONTENT changes so path-keyed caches regenerate
 # (v2: added the NULL-payload turn to the unit tier)
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 
 def generate_transcripts(out_path: str, tier: str = "unit",
@@ -218,5 +218,13 @@ def generate_transcripts(out_path: str, tier: str = "unit",
         "tool": pa.array(rows["tool"], pa.string()),
         "ts": pa.array(rows["ts"], pa.timestamp("us")),
     })
-    pq.write_table(table, out_path)
+    # Bounded row groups: a single-row-group file binds every
+    # scan-partition stage (the light extraction path, payload hashing)
+    # to ONE Spark task regardless of cores — parquet can only split at
+    # row-group boundaries. Production 10^12-turn tables have millions of
+    # row groups/files; the fixture must not accidentally serialize the
+    # scan stages that the scaling bench measures (found r3: the bench
+    # fixture was one 299k-row group and the light path showed zero
+    # speedup from 1 -> 4 cores).
+    pq.write_table(table, out_path, row_group_size=4096)
     return table.num_rows

@@ -176,8 +176,13 @@ def build_pdf(pages: list) -> bytes:
     objects[pages_idx - 1] = (
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_obj_ids))
     )
+    return assemble_pdf(objects)
 
-    # serialize with xref
+
+def assemble_pdf(objects: list) -> bytes:
+    """Serialize numbered object bodies (object N = objects[N-1], root =
+    object 1) into a complete PDF with xref table + trailer. Shared by
+    build_pdf and the searchable-PDF authoring (export_pdf.py)."""
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):

@@ -177,9 +177,10 @@ def q_dedup_minhash(spark, sf_dir,
     verify joins shingle sets for candidate pairs only."""
     d = t(spark, sf_dir, "documents")
     groups = d.select("doc_id", F.md5("text").alias("th"))
-    reps = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"))
-    members = groups.join(reps, "th")  # (th, doc_id, rep_id)
-    rep_docs = d.join(reps.select(F.col("rep_id").alias("doc_id")),
+    sizes_g = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"),
+                                       F.count("*").alias("grp_n"))
+    members = groups.join(sizes_g, "th")  # (th, doc_id, rep_id, grp_n)
+    rep_docs = d.join(sizes_g.select(F.col("rep_id").alias("doc_id")),
                       "doc_id", "left_semi")
 
     sh = _shingles_of(rep_docs)
@@ -188,17 +189,20 @@ def q_dedup_minhash(spark, sf_dir,
 
     # intra-group pairs: identical texts => jaccard exactly 1.0, but only
     # for texts that produce shingles at all (>= 3 words) — shingle-less
-    # docs never band-collide in the naive algorithm either
+    # docs never band-collide in the naive algorithm either. Restricted
+    # to groups with >= 2 members BEFORE the self-join: in a low-dup
+    # corpus the join input is ~empty instead of every document
     elig = (rep_docs.filter(F.size(F.split("text", " ")) >= 3)
             .select(F.col("doc_id").alias("rep_id")))
-    emembers = members.join(elig, "rep_id")
+    emembers = (members.filter(F.col("grp_n") > 1).join(elig, "rep_id"))
     p = emembers.select("th", F.col("doc_id").alias("doc_a"))
     q = emembers.select("th", F.col("doc_id").alias("doc_b"))
     intra = (p.join(q, "th").filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard")))
 
     # inter-group fan-out: a rep pair's jaccard holds for every member
-    # pair (identical shingle sets within a group)
+    # pair (identical shingle sets within a group). rep_pairs is the
+    # small side — these plan as broadcast joins over the member list
     ma = members.select(F.col("rep_id").alias("doc_a"),
                         F.col("doc_id").alias("xa"))
     mb = members.select(F.col("rep_id").alias("doc_b"),
