@@ -32,11 +32,12 @@ HEADLINE_QUERIES = [
 
 
 def _bench_fixture(n_convs: int) -> str:
-    from pdf_ocr_spark.fixtures import generate_transcripts
+    from pdf_ocr_spark.fixtures import FIXTURE_VERSION, generate_transcripts
 
     cache = os.path.join(tempfile.gettempdir(), "pdf_ocr_spark_fixtures")
     os.makedirs(cache, exist_ok=True)
-    path = os.path.join(cache, f"transcripts_bench_v3_{n_convs}.parquet")
+    path = os.path.join(
+        cache, f"transcripts_bench_v{FIXTURE_VERSION}_{n_convs}.parquet")
     if not os.path.exists(path):
         generate_transcripts(path, tier="bench", n_convs=n_convs)
     return path

@@ -100,8 +100,10 @@ def _run_xml(text: str, font_name: str, font_size_pt: int,
              bold: bool = False, color: str | None = None) -> str:
     """One w:r with the reference's run styling (docx_export.py:164-174):
     ascii + eastAsia font, half-point size, optional bold / color."""
-    rpr = [f'<w:rFonts w:ascii="{escape(font_name)}" '
-           f'w:eastAsia="{escape(font_name)}"/>']
+    # attribute context: escape() alone leaves '"' unescaped, which would
+    # break the XML for a font name containing quotes (code-review r3)
+    fn = escape(font_name, {'"': "&quot;"})
+    rpr = [f'<w:rFonts w:ascii="{fn}" w:eastAsia="{fn}"/>']
     if bold:
         rpr.append('<w:b/>')
     if color:

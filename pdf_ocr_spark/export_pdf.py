@@ -112,6 +112,7 @@ def with_searchable_pdf(df, cfg=None):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .detector import decode_pdf_payload, detect_pdf
+        from .kernels import binarize, denoise, deskew
         from .minipdf.adapters import open_pdf
         from .ocr.engine import get_engine
 
@@ -125,13 +126,28 @@ def with_searchable_pdf(df, cfg=None):
                     pdf = open_pdf(
                         decode_pdf_payload(text, cfg.max_payload_bytes),
                         backend=cfg.pdf_backend)
-                    info = detect_pdf(pdf,
-                                      threshold=cfg.pdf_text_threshold)
+                    info = detect_pdf(
+                        pdf, threshold=cfg.pdf_text_threshold,
+                        sample_page_limit=cfg.detect_sample_page_limit)
                     dpi = max(cfg.min_dpi,
                               min(cfg.max_dpi, cfg.default_dpi))
                     images, lines = [], []
                     for p in info.image_pages:
                         img = pdf.render_page(p, dpi=dpi)
+                        # SAME preprocess chain as the extraction path
+                        # (extract.py raster branch) so the overlay text
+                        # matches extracted_text for the same document
+                        # (code-review r3). Deviation from the reference
+                        # noted: searchable_pdf.py:57-66 overlays onto
+                        # the ORIGINAL page while OCR coords come from
+                        # the processed image; we embed the processed
+                        # raster so text and pixels stay aligned.
+                        if cfg.preprocess_denoise:
+                            img = denoise(img, method="gaussian")
+                        if cfg.preprocess_deskew:
+                            img, _ = deskew(img)
+                        if cfg.preprocess_binarize:
+                            img = binarize(img, method="otsu")
                         res = engine.recognize(img, p)
                         images.append(img)
                         lines.append([

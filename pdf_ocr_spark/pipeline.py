@@ -378,14 +378,24 @@ def run_extraction(
 
     # optional AI-enrichment post-stage (VERDICT r2 #6): runs over the
     # freshly written output (skipped buckets excluded, same as lineage),
-    # writes bucket-partitioned so a re-run overwrites idempotently
+    # writes bucket-partitioned so a re-run overwrites idempotently.
+    # isEmpty guard: a fully-resumed run has nothing to enrich, and
+    # writing an empty frame to a fresh enrich_path would leave a
+    # data-file-less parquet dir that load_table cannot infer a schema
+    # from (code-review r3).
     n_enriched = 0
-    if enrich_chunk is not None and enrich_path is not None:
+    if enrich_chunk is not None and enrich_path is not None \
+            and not written.isEmpty():
         from .enrich import enrich_reformat
         enriched = enrich_reformat(written, enrich_chunk,
                                    passthrough=("bucket",))
         overwrite_partitions(enriched, enrich_path, "bucket")
-        n_enriched = load_table(spark, enrich_path).count()
+        # count THIS run's enriched rows (skipped buckets excluded), not
+        # the whole table — a resumed run must not report prior work
+        enr = load_table(spark, enrich_path)
+        if done:
+            enr = enr.filter(~F.col("bucket").isin(sorted(done)))
+        n_enriched = enr.count()
 
     # metrics from the (tiny) lineage table, not a rescan of the output
     n_out = sum(

@@ -104,10 +104,16 @@ def minhash_band_candidates(sh, n_hashes: int, n_bands: int,
     banded = sigs.select(
         "doc_id", F.posexplode(band_arr).alias("band_idx", "band_key"))
     if max_band_bucket is not None:
+        # localCheckpoint materializes the overflow-key set ONCE: the
+        # count for the log line and the anti-join below both reuse it
+        # instead of re-running the whole shingle->MinHash->band lineage
+        # (code-review r3: the cap path previously triggered two extra
+        # full passes at DataFrame-construction time)
         over = (banded.groupBy("band_idx", "band_key")
                 .agg(F.count("*").alias("bn"))
                 .filter(F.col("bn") > max_band_bucket)
-                .select("band_idx", "band_key"))
+                .select("band_idx", "band_key")
+                .localCheckpoint(eager=True))
         n_over = over.count()
         if n_over:
             import logging

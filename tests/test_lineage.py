@@ -136,3 +136,14 @@ def test_enrich_post_stage_composes_with_pipeline(
         F.col("formatted_text") != F.upper("extracted_text")).count()
     assert bad == 0
     assert e.filter(~F.col("ai_success")).count() == 0
+
+    # fully-resumed run with enrichment enabled: nothing to enrich must
+    # mean NO crash and rows_enriched == 0 — an empty write to a fresh
+    # enrich path would otherwise leave a schema-less parquet dir
+    # (code-review r3)
+    enr2 = str(tmp_path / "enriched2")
+    m2 = run_extraction(spark, duplicated_payload_fixture, out, lin,
+                        run_id="enr-resume", resume=True,
+                        enrich_chunk=fake_llm, enrich_path=enr2)
+    assert m2["rows_out"] == 0 and m2["skipped_buckets"] > 0
+    assert m2["rows_enriched"] == 0

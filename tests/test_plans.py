@@ -63,6 +63,20 @@ def test_ann_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan  # no global sort for top-k
 
 
+def test_minhash_dedup_prepass_plan_locks(spark):
+    """The r3 exact-dedup pre-pass must stay join-shaped: no cartesian
+    product anywhere, the band-collision candidates come from an
+    equi-join, and the signature aggregation keeps its map-side partial
+    phase (partial_min) — the properties that make the query survive a
+    100 TB corpus."""
+    from pdf_ocr_spark.relational.dedup import q_dedup_minhash
+    plan = _plan(q_dedup_minhash(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_key" in plan  # the LSH equi-join
+    assert "partial_min" in plan  # map-side combine of the 64 sig mins
+
+
 def test_assemble_conversations(spark):
     from pdf_ocr_spark.export import assemble_conversations
     df = spark.createDataFrame(
