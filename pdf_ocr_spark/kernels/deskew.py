@@ -92,10 +92,19 @@ def hough_skew(img: np.ndarray) -> float:
             np.floor(rho + diag).astype(int), minlength=2 * diag
         )
         votes[i] = counts.max()
-    # top-5 vote angles, median (robust like the reference's median of line
-    # segment angles, deskew.py:58-69)
-    top = np.argsort(votes)[-5:]
-    return float(np.median(angles[top]))
+    # argmax accumulator readout with ties broken toward the smallest
+    # |angle| (r3; was median of the top-5 vote angles, which pulled
+    # near-tie NEIGHBOR angles into the estimate and reported +-0.5 deg
+    # on perfectly clean scans — every clean page then paid a ~37 ms
+    # nearest-neighbor rotation AND its interpolation damage before OCR.
+    # The reference medians per-SEGMENT angles of HoughLinesP output
+    # (deskew.py:58-69), where a clean page yields all-horizontal
+    # segments and a 0.0 estimate; accumulator argmax is the standard
+    # readout with the same clean-page behavior: measured votes 197 at
+    # 0.0 vs 134 runner-up on a clean scan, 153 at the true angle on a
+    # 2.5-deg skew)
+    best = np.flatnonzero(votes == votes.max())
+    return float(angles[best[np.argmin(np.abs(angles[best]))]])
 
 
 def minarea_skew(img: np.ndarray) -> float:
