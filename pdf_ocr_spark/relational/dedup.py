@@ -341,6 +341,79 @@ ORDER BY s.doc_id
 """
 
 
+# --- direct n-gram Jaccard (inverted-index join, no LSH) --------------------
+NGRAM_MAXDF = 50      # posting-list cap: shingles in more docs are stopwords
+NGRAM_MIN_JACCARD = 0.5
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir, maxdf: int = NGRAM_MAXDF,
+                          min_jaccard: float = NGRAM_MIN_JACCARD):
+    """Exact n-gram Jaccard near-dup pairs WITHOUT LSH: the classic
+    inverted-index self-join. Candidate pairs = documents sharing at
+    least one (non-stopword) 3-gram shingle; exact Jaccard on candidates;
+    keep pairs >= min_jaccard.
+
+    Scale shape: ONE equi-join on the shingle posting lists. The known
+    blowup is a shingle shared by m documents contributing m^2 candidate
+    rows, so postings longer than ``maxdf`` are dropped before the join
+    (document-frequency stopwording — standard for inverted-index
+    similarity; a TRUE near-dup pair shares many shingles, so losing its
+    most common ones costs candidates nothing). Unlike MinHash/LSH this
+    gives exact recall at the threshold for pairs whose shared shingles
+    are not all stopworded — the deterministic complement to the
+    probabilistic q_dedup_minhash."""
+    sh = _shingles(spark, sf_dir)
+    df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
+    rare = sh.join(df_counts.filter(F.col("df") <= maxdf), "s") \
+        .select("doc_id", "s")
+    a = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (a.join(b, "s").filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    # exact Jaccard over FULL shingle sets (sizes from the uncapped
+    # frame, so the score is true Jaccard, not capped-set Jaccard)
+    return (_verify_jaccard(cand, sh)
+            .filter(F.col("jaccard") >= min_jaccard)
+            .orderBy("doc_a", "doc_b"))
+
+
+def make_ngram_jaccard_sql(maxdf: int = NGRAM_MAXDF,
+                           min_jaccard: float = NGRAM_MIN_JACCARD) -> str:
+    """DuckDB oracle twin of q_dedup_ngram_jaccard."""
+    return f"""
+WITH {_SHINGLES_CTE},
+rare AS (
+  SELECT doc_id, s FROM shingles
+  WHERE s IN (SELECT s FROM shingles GROUP BY s
+              HAVING count(*) <= {maxdf})
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       (floor((n_inter / (za.n_sh + zb.n_sh - n_inter)) * 1000000.0 + 0.5)
+        / 1000000.0) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE (floor((n_inter / (za.n_sh + zb.n_sh - n_inter)) * 1000000.0 + 0.5)
+       / 1000000.0) >= {min_jaccard}
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_DEDUP_NGRAM_JACCARD = make_ngram_jaccard_sql()
+
+
 # --- near-dup clustering (connected components over MinHash pairs) ---------
 _CLUSTER_JACCARD = 0.5
 
@@ -410,6 +483,8 @@ SQL_DEDUP_CLUSTERS = make_cluster_sql()
 QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard,
+                            SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }
