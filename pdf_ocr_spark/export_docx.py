@@ -29,11 +29,23 @@ turn, embarrassingly parallel, no driver-side file loop.
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 from typing import Iterator
 from xml.sax.saxutils import escape
 
 from .docx_model import confidence_runs, parse_markdown_blocks
+
+# XML 1.0 forbids control chars (except \t \n \r), surrogates, and the
+# noncharacters U+FFFE/U+FFFF — real extracted_text can carry form feeds
+# etc., which would make document.xml unparseable (code-review r3).
+# Stripping (python-docx raises instead) keeps authoring total.
+_XML_INVALID = re.compile(
+    "[^\t\n\r\u0020-\ud7ff\ue000-\ufffd\U00010000-\U0010ffff]")
+
+
+def _xml_safe(s: str) -> str:
+    return _XML_INVALID.sub("", s)
 
 _W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
 
@@ -102,7 +114,7 @@ def _run_xml(text: str, font_name: str, font_size_pt: int,
     ascii + eastAsia font, half-point size, optional bold / color."""
     # attribute context: escape() alone leaves '"' unescaped, which would
     # break the XML for a font name containing quotes (code-review r3)
-    fn = escape(font_name, {'"': "&quot;"})
+    fn = escape(_xml_safe(font_name), {'"': "&quot;"})
     rpr = [f'<w:rFonts w:ascii="{fn}" w:eastAsia="{fn}"/>']
     if bold:
         rpr.append('<w:b/>')
@@ -110,7 +122,8 @@ def _run_xml(text: str, font_name: str, font_size_pt: int,
         rpr.append(f'<w:color w:val="{color}"/>')
     rpr.append(f'<w:sz w:val="{font_size_pt * 2}"/>')
     return (f'<w:r><w:rPr>{"".join(rpr)}</w:rPr>'
-            f'<w:t xml:space="preserve">{escape(text)}</w:t></w:r>')
+            f'<w:t xml:space="preserve">{escape(_xml_safe(text))}</w:t>'
+            f'</w:r>')
 
 
 def _p_xml(runs_xml: str, style: str | None = None,

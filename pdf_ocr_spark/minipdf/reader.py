@@ -21,8 +21,14 @@ import zlib
 import numpy as np
 
 _OBJ_RX = re.compile(rb"(\d+)\s+0\s+obj")
+# string content = escape pairs OR any char that is not an unescaped
+# backslash/paren. The previous lazy-dot + (?<!\\) lookbehind could not
+# terminate a string ending in an ESCAPED backslash ("(a\\\\)"): the
+# closing paren is preceded by a backslash byte even though that
+# backslash is itself escaped, so the match ran past the string end and
+# leaked raw PDF operators into extracted text (code-review r3).
 _TM_TJ_RX = re.compile(
-    rb"1 0 0 1 ([\-0-9.]+) ([\-0-9.]+) Tm \((.*?)(?<!\\)\) Tj", re.S
+    rb"1 0 0 1 ([\-0-9.]+) ([\-0-9.]+) Tm \(((?:\\.|[^\\)])*)\) Tj", re.S
 )
 _MEDIABOX_RX = re.compile(rb"/MediaBox \[0 0 ([\-0-9.]+) ([\-0-9.]+)\]")
 _LENGTH_RX = re.compile(rb"/Length (\d+)")

@@ -11,8 +11,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .util import (
-    round6, MINHASH_A, MINHASH_B, MINHASH_N_BANDS, MINHASH_N_HASHES, MOD,
-    connected_components, hash60_sql, t,
+    round6, sql_round6, MINHASH_A, MINHASH_B, MINHASH_N_BANDS,
+    MINHASH_N_HASHES, MOD, connected_components, hash60_sql, t,
 )
 
 _SHINGLE_EXPR = (
@@ -182,22 +182,41 @@ def q_dedup_minhash(spark, sf_dir,
     never documents — and one join regardless of band count); Jaccard
     verify joins shingle sets for candidate pairs only."""
     d = t(spark, sf_dir, "documents")
-    groups = d.select("doc_id", F.md5("text").alias("th"))
-    sizes_g = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"),
-                                       F.count("*").alias("grp_n"))
-    members = groups.join(sizes_g, "th")  # (th, doc_id, rep_id, grp_n)
-    rep_docs = d.join(sizes_g.select(F.col("rep_id").alias("doc_id")),
-                      "doc_id", "left_semi")
-
+    members, rep_docs = _dedup_groups(d)
     sh = _shingles_of(rep_docs)
     cand = minhash_band_candidates(sh, n_hashes, n_bands, max_band_bucket)
     rep_pairs = _verify_jaccard(cand, sh)
+    return _reassociate(rep_pairs, members, rep_docs) \
+        .orderBy("doc_a", "doc_b")
 
-    # intra-group pairs: identical texts => jaccard exactly 1.0, but only
-    # for texts that produce shingles at all (>= 3 words) — shingle-less
-    # docs never band-collide in the naive algorithm either. Restricted
-    # to groups with >= 2 members BEFORE the self-join: in a low-dup
-    # corpus the join input is ~empty instead of every document
+
+def _dedup_groups(d):
+    """Exact-dedup pre-pass frames: ``members`` (th, doc_id, rep_id,
+    grp_n) maps every document to its distinct-text representative
+    (min doc_id per md5(text)); ``rep_docs`` is one document row per
+    distinct text."""
+    groups = d.select("doc_id", F.md5("text").alias("th"))
+    sizes_g = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"),
+                                       F.count("*").alias("grp_n"))
+    members = groups.join(sizes_g, "th")
+    rep_docs = d.join(sizes_g.select(F.col("rep_id").alias("doc_id")),
+                      "doc_id", "left_semi")
+    return members, rep_docs
+
+
+def _reassociate(rep_pairs, members, rep_docs):
+    """Expand representative-level similarity pairs back to all group
+    members.
+
+    * intra-group pairs: identical texts => jaccard exactly 1.0, but
+      only for texts that produce shingles at all (>= 3 words) —
+      shingle-less docs never become candidates in the naive algorithms
+      either. Restricted to groups with >= 2 members BEFORE the
+      self-join: in a low-dup corpus the join input is ~empty instead of
+      every document.
+    * inter-group fan-out: a rep pair's jaccard holds for every member
+      pair (identical shingle sets within a group). rep_pairs is the
+      small side — these plan as broadcast joins over the member list."""
     elig = (rep_docs.filter(F.size(F.split("text", " ")) >= 3)
             .select(F.col("doc_id").alias("rep_id")))
     emembers = (members.filter(F.col("grp_n") > 1).join(elig, "rep_id"))
@@ -205,10 +224,6 @@ def q_dedup_minhash(spark, sf_dir,
     q = emembers.select("th", F.col("doc_id").alias("doc_b"))
     intra = (p.join(q, "th").filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard")))
-
-    # inter-group fan-out: a rep pair's jaccard holds for every member
-    # pair (identical shingle sets within a group). rep_pairs is the
-    # small side — these plan as broadcast joins over the member list
     ma = members.select(F.col("rep_id").alias("doc_a"),
                         F.col("doc_id").alias("xa"))
     mb = members.select(F.col("rep_id").alias("doc_b"),
@@ -216,8 +231,7 @@ def q_dedup_minhash(spark, sf_dir,
     inter = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
              .select(F.least("xa", "xb").alias("doc_a"),
                      F.greatest("xa", "xb").alias("doc_b"), "jaccard"))
-
-    return intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    return intra.unionByName(inter)
 
 
 def _sig_sql(n_hashes: int) -> str:
@@ -349,20 +363,26 @@ NGRAM_MIN_JACCARD = 0.5
 def q_dedup_ngram_jaccard(spark, sf_dir, maxdf: int = NGRAM_MAXDF,
                           min_jaccard: float = NGRAM_MIN_JACCARD):
     """Exact n-gram Jaccard near-dup pairs WITHOUT LSH: the classic
-    inverted-index self-join. Candidate pairs = documents sharing at
+    inverted-index self-join. Candidate pairs = distinct texts sharing at
     least one (non-stopword) 3-gram shingle; exact Jaccard on candidates;
-    keep pairs >= min_jaccard.
+    keep pairs >= min_jaccard; expand back to all duplicate-group
+    members (the same exact-dedup pre-pass as q_dedup_minhash — without
+    it, a duplicate cluster larger than maxdf would stopword ALL its own
+    shingles and silently miss its jaccard-1.0 pairs; code-review r3).
 
-    Scale shape: ONE equi-join on the shingle posting lists. The known
-    blowup is a shingle shared by m documents contributing m^2 candidate
-    rows, so postings longer than ``maxdf`` are dropped before the join
-    (document-frequency stopwording — standard for inverted-index
-    similarity; a TRUE near-dup pair shares many shingles, so losing its
-    most common ones costs candidates nothing). Unlike MinHash/LSH this
-    gives exact recall at the threshold for pairs whose shared shingles
-    are not all stopworded — the deterministic complement to the
-    probabilistic q_dedup_minhash."""
-    sh = _shingles(spark, sf_dir)
+    Scale shape: ONE equi-join on the shingle posting lists over
+    DISTINCT texts. The known blowup is a shingle shared by m distinct
+    texts contributing m^2 candidate rows, so postings longer than
+    ``maxdf`` are dropped before the join (document-frequency
+    stopwording — standard for inverted-index similarity). Remaining
+    documented recall limit: a family of > maxdf near-identical-but-
+    UNEQUAL texts whose shared shingles all exceed maxdf (same class as
+    the MinHash band-bucket cap). The shingle frame is localCheckpointed
+    — it feeds the df counts, the posting join, and the verify stage,
+    and would otherwise be recomputed five times."""
+    d = t(spark, sf_dir, "documents")
+    members, rep_docs = _dedup_groups(d)
+    sh = _shingles_of(rep_docs).localCheckpoint(eager=True)
     df_counts = sh.groupBy("s").agg(F.count("*").alias("df"))
     rare = sh.join(df_counts.filter(F.col("df") <= maxdf), "s") \
         .select("doc_id", "s")
@@ -372,16 +392,30 @@ def q_dedup_ngram_jaccard(spark, sf_dir, maxdf: int = NGRAM_MAXDF,
             .select("doc_a", "doc_b").distinct())
     # exact Jaccard over FULL shingle sets (sizes from the uncapped
     # frame, so the score is true Jaccard, not capped-set Jaccard)
-    return (_verify_jaccard(cand, sh)
-            .filter(F.col("jaccard") >= min_jaccard)
-            .orderBy("doc_a", "doc_b"))
+    rep_pairs = _verify_jaccard(cand, sh) \
+        .filter(F.col("jaccard") >= min_jaccard)
+    return _reassociate(rep_pairs, members, rep_docs) \
+        .orderBy("doc_a", "doc_b")
 
 
 def make_ngram_jaccard_sql(maxdf: int = NGRAM_MAXDF,
                            min_jaccard: float = NGRAM_MIN_JACCARD) -> str:
-    """DuckDB oracle twin of q_dedup_ngram_jaccard."""
+    """DuckDB oracle twin of q_dedup_ngram_jaccard, including the
+    exact-dedup pre-pass + reassociation."""
+    j6 = sql_round6("n_inter / (za.n_sh + zb.n_sh - n_inter)")
     return f"""
-WITH {_SHINGLES_CTE},
+WITH grp AS (SELECT doc_id, md5(text) AS th FROM documents),
+sizes_g AS (SELECT th, min(doc_id) AS rep_id, count(*) AS grp_n
+            FROM grp GROUP BY th),
+members AS (SELECT g.th, g.doc_id, s.rep_id, s.grp_n
+            FROM grp g JOIN sizes_g s ON g.th = s.th),
+repdocs AS (SELECT d.doc_id, d.text FROM documents d
+            WHERE d.doc_id IN (SELECT rep_id FROM sizes_g)),
+shingles AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_SQL}) AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM repdocs)
+  WHERE len(w) >= 3
+),
 rare AS (
   SELECT doc_id, s FROM shingles
   WHERE s IN (SELECT s FROM shingles GROUP BY s
@@ -398,15 +432,31 @@ inter AS (
   JOIN shingles sa ON sa.doc_id = c.doc_a
   JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
   GROUP BY c.doc_a, c.doc_b
+),
+rep_pairs AS (
+  SELECT i.doc_a, i.doc_b, {j6} AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE {j6} >= {min_jaccard}
+),
+elig AS (SELECT doc_id AS rep_id FROM repdocs
+         WHERE len(string_split(text, ' ')) >= 3),
+intra AS (
+  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, 1.0 AS jaccard
+  FROM members p JOIN members q ON p.th = q.th AND p.doc_id < q.doc_id
+  WHERE p.grp_n > 1 AND p.rep_id IN (SELECT rep_id FROM elig)
+),
+fanout AS (
+  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         greatest(ma.doc_id, mb.doc_id) AS doc_b, rp.jaccard
+  FROM rep_pairs rp
+  JOIN members ma ON ma.rep_id = rp.doc_a
+  JOIN members mb ON mb.rep_id = rp.doc_b
 )
-SELECT i.doc_a, i.doc_b,
-       (floor((n_inter / (za.n_sh + zb.n_sh - n_inter)) * 1000000.0 + 0.5)
-        / 1000000.0) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.doc_a
-JOIN sizes zb ON zb.doc_id = i.doc_b
-WHERE (floor((n_inter / (za.n_sh + zb.n_sh - n_inter)) * 1000000.0 + 0.5)
-       / 1000000.0) >= {min_jaccard}
+SELECT doc_a, doc_b, jaccard FROM intra
+UNION ALL
+SELECT doc_a, doc_b, jaccard FROM fanout
 ORDER BY doc_a, doc_b
 """
 

@@ -244,6 +244,13 @@ def test_degenerate_identical_corpus_candidates_stay_linear(
     sample = out.filter("doc_a = 0 and doc_b = 999").collect()
     assert len(sample) == 1 and sample[0]["jaccard"] == 1.0
 
+    # the inverted-index path shares the pre-pass: without it, the 1k
+    # copies would stopword ALL their own shingles (df=1000 > maxdf=50)
+    # and silently miss every jaccard-1.0 pair (code-review r3)
+    from pdf_ocr_spark.relational.dedup import q_dedup_ngram_jaccard
+    ng = q_dedup_ngram_jaccard(spark, str(tmp_path))
+    assert ng.filter("jaccard = 1.0").count() == 1000 * 999 // 2
+
 
 def test_band_bucket_cap_bounds_near_identical_blowup(spark, tmp_path):
     """max_band_bucket: for near-identical-but-UNEQUAL corpora (one word
