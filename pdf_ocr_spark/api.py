@@ -51,7 +51,9 @@ def process_pdf_bytes(
     (api/ocr.py:68-318). Returns {"type", "pages", "combined"}."""
     pdf = MiniPdf(data)
     info = detect_pdf(pdf, threshold=cfg.pdf_text_threshold,
-                      sample_page_limit=cfg.detect_sample_page_limit)
+                      sample_page_limit=cfg.detect_sample_page_limit,
+                      sample_head=cfg.detect_sample_head,
+                      sample_tail=cfg.detect_sample_tail)
     target = normalize_pages(pages, info.page_count)
     dpi = dpi or cfg.default_dpi
     dpi = max(cfg.min_dpi, min(cfg.max_dpi, dpi))
@@ -107,4 +109,11 @@ def process_pdf_bytes(
 
 
 def process_pdf_base64(payload: str, **kw) -> dict:
-    return process_pdf_bytes(base64.b64decode(payload), **kw)
+    # route through the engine's validated decode (O(1) oversize
+    # rejection + %PDF magic + contained error semantics) instead of a
+    # raw b64decode that would materialize a hostile multi-GB payload
+    # (code-review r3)
+    from .detector import decode_pdf_payload
+    cfg = kw.get("cfg", DEFAULT)
+    return process_pdf_bytes(
+        decode_pdf_payload(payload, cfg.max_payload_bytes), **kw)

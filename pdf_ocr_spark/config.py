@@ -27,12 +27,17 @@ class EngineConfig:
     min_dpi: int = 150
 
     # --- OCR (reference app/config.py:66) ---
+    # default for the low-confidence flag/highlight surfaces
+    # (export.with_low_confidence_flag, docx_model.confidence_runs)
     ocr_confidence_threshold: float = 0.5
 
     # --- preprocess defaults (reference app/config.py:70-73) ---
     preprocess_denoise: bool = True
     preprocess_binarize: bool = False
     preprocess_deskew: bool = True
+    # consumed by the 'simple' binarize method (kernels.binarize(...,
+    # method="simple", threshold=...)); the pipeline chain itself uses
+    # otsu, the reference default, which takes no threshold
     binarize_threshold: int = 127
 
     # --- layout postprocess (reference app/config.py:76-78) ---

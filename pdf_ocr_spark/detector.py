@@ -93,8 +93,14 @@ class PdfInfo:
 
 
 def detect_pdf(pdf: MiniPdf, threshold: int = 50,
-               sample_page_limit: int = 50) -> PdfInfo:
-    """Faithful replica of PDFDetector.detect (pdf_detector.py:38-122)."""
+               sample_page_limit: int = 50,
+               sample_head: int = 15, sample_tail: int = 15) -> PdfInfo:
+    """Faithful replica of PDFDetector.detect (pdf_detector.py:38-122).
+
+    ``sample_head``/``sample_tail`` parameterize the head/tail window
+    sizes (EngineConfig.detect_sample_head/tail — previously declared
+    but never wired, code-review r3); the reference hardcodes 15/15/15
+    and the middle window stays the reference's fixed //2-7..//2+8."""
     page_count = pdf.page_count
     text_pages: list[int] = []
     image_pages: list[int] = []
@@ -104,10 +110,10 @@ def detect_pdf(pdf: MiniPdf, threshold: int = 50,
     is_sampled = False
     if page_count > sample_page_limit:
         is_sampled = True
-        s1 = list(range(min(15, page_count)))
+        s1 = list(range(min(sample_head, page_count)))
         s2 = list(range(max(0, page_count // 2 - 7),
                         min(page_count, page_count // 2 + 8)))
-        s3 = list(range(max(0, page_count - 15), page_count))
+        s3 = list(range(max(0, page_count - sample_tail), page_count))
         sample_indices = sorted(set(s1 + s2 + s3))
 
     for i in range(page_count):

@@ -89,10 +89,15 @@ def parse_markdown_blocks(paragraph_texts: list) -> list:
     return blocks
 
 
-def confidence_runs(paragraphs: list, threshold: float = 0.5) -> list:
+def confidence_runs(paragraphs: list,
+                    threshold: float | None = None) -> list:
     """Low-confidence highlighting model (docx_export.py:200-213):
-    [(text, is_red)] — one run per paragraph, red below threshold.
-    ``paragraphs``: [(text, avg_confidence)]."""
+    [(text, is_red)] — one run per paragraph, red below threshold
+    (default EngineConfig.ocr_confidence_threshold, reference
+    config.py:66). ``paragraphs``: [(text, avg_confidence)]."""
+    if threshold is None:
+        from .config import DEFAULT
+        threshold = DEFAULT.ocr_confidence_threshold
     return [(text, conf < threshold) for text, conf in paragraphs]
 
 

@@ -86,9 +86,13 @@ def with_markdown_export(df: DataFrame, title_col: str = "conv_id") \
 
 
 def with_low_confidence_flag(df: DataFrame,
-                             threshold: float = 0.5) -> DataFrame:
-    """S10's confidence highlighting -> boolean column
-    (config.py:66 threshold)."""
+                             threshold: float | None = None) -> DataFrame:
+    """S10's confidence highlighting -> boolean column. Default comes
+    from EngineConfig.ocr_confidence_threshold (reference config.py:66)
+    instead of a drifting literal (code-review r3)."""
+    if threshold is None:
+        from .config import DEFAULT
+        threshold = DEFAULT.ocr_confidence_threshold
     return df.withColumn("low_confidence", F.col("confidence") < threshold)
 
 

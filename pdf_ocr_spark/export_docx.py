@@ -204,7 +204,8 @@ def docx_bytes(pages_blocks: list, title: str | None = None,
     return _package(doc)
 
 
-def docx_confidence_bytes(paragraphs: list, threshold: float = 0.5,
+def docx_confidence_bytes(paragraphs: list,
+                          threshold: float | None = None,
                           font_name: str = "宋体",
                           font_size: int = 12) -> bytes:
     """export_with_confidence (docx_export.py:176-216): one run per

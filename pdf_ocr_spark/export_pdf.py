@@ -128,7 +128,9 @@ def with_searchable_pdf(df, cfg=None):
                         backend=cfg.pdf_backend)
                     info = detect_pdf(
                         pdf, threshold=cfg.pdf_text_threshold,
-                        sample_page_limit=cfg.detect_sample_page_limit)
+                        sample_page_limit=cfg.detect_sample_page_limit,
+                        sample_head=cfg.detect_sample_head,
+                        sample_tail=cfg.detect_sample_tail)
                     dpi = max(cfg.min_dpi,
                               min(cfg.max_dpi, cfg.default_dpi))
                     images, lines = [], []

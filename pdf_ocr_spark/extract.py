@@ -35,19 +35,27 @@ RESULT_COLUMNS = [
 
 # Per-worker-process payload-dedup cache (identical attachments recur in
 # real transcript tables; the reference's task-id dedup has the same
-# purpose). Keyed by md5 of the payload; bounded FIFO. Python workers are
-# reused across batches, so this is the Spark analog of the reference's
-# process-level engine/result reuse.
+# purpose). Keyed by (cfg hash, md5 of payload) — the cfg term matters
+# because Python workers are reused across jobs in one SparkSession: a
+# second run with different preprocessing flags / dpi / backend must
+# never be served results decoded under the first run's config
+# (code-review r3). Bounded FIFO.
 _PDF_CACHE: dict = {}
 _PDF_CACHE_MAX = 512
 
 
-def _pdf_cache_get(payload: str, counters: dict | None = None):
+def _pdf_cache_key(payload: str, cfg: EngineConfig) -> tuple:
+    """One md5 pass per lookup (the digest is reused for the put on a
+    miss); EngineConfig is a frozen dataclass, so hash(cfg) is stable
+    within the worker process."""
+    import hashlib
+    return (hash(cfg), hashlib.md5(payload.encode()).digest())
+
+
+def _pdf_cache_get(key: tuple, counters: dict | None = None):
     """Cache lookup; ``counters`` is an optional dict of Spark
     accumulators ("cache_hits"/"cache_misses") so bench/lineage can
     attribute throughput to cold decodes vs warm hits (VERDICT r2 #7)."""
-    import hashlib
-    key = hashlib.md5(payload.encode()).digest()
     hit = _PDF_CACHE.get(key)
     if counters is not None:
         counters["cache_hits" if hit is not None else "cache_misses"] \
@@ -55,9 +63,7 @@ def _pdf_cache_get(payload: str, counters: dict | None = None):
     return hit
 
 
-def _pdf_cache_put(payload: str, value) -> None:
-    import hashlib
-    key = hashlib.md5(payload.encode()).digest()
+def _pdf_cache_put(key: tuple, value) -> None:
     if len(_PDF_CACHE) >= _PDF_CACHE_MAX:
         _PDF_CACHE.pop(next(iter(_PDF_CACHE)))
     _PDF_CACHE[key] = value
@@ -115,7 +121,9 @@ def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
     except ValueError as e:
         return "", [], "error", 0.0, 0, str(e)
     info = detect_pdf(pdf, threshold=cfg.pdf_text_threshold,
-                      sample_page_limit=cfg.detect_sample_page_limit)
+                      sample_page_limit=cfg.detect_sample_page_limit,
+                      sample_head=cfg.detect_sample_head,
+                      sample_tail=cfg.detect_sample_tail)
     dpi = max(cfg.min_dpi, min(cfg.max_dpi, cfg.default_dpi))
 
     if info.pdf_type == "text":
@@ -194,10 +202,10 @@ def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
     vals = texts.to_numpy(dtype=object)
     for i in range(n):
         t0 = time.perf_counter_ns()
-        key = vals[i]
+        key = _pdf_cache_key(vals[i], cfg)
         hit = _pdf_cache_get(key, counters)
         if hit is None:
-            hit = _extract_pdf_doc(key, cfg)
+            hit = _extract_pdf_doc(vals[i], cfg)
             _pdf_cache_put(key, hit)
         text, spans, method, c, n_pages, err = hit
         out["extracted_text"][i] = text
@@ -281,10 +289,10 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
     pdf_idx = np.nonzero(kind_arr == "pdf_b64")[0]
     for i in pdf_idx:
         t0 = time.perf_counter_ns()
-        key = vals[i]
+        key = _pdf_cache_key(vals[i], cfg)
         hit = _pdf_cache_get(key, counters)
         if hit is None:
-            hit = _extract_pdf_doc(key, cfg)
+            hit = _extract_pdf_doc(vals[i], cfg)
             _pdf_cache_put(key, hit)
         text, spans, method, conf, n_pages, err = hit
         out_text[i] = text

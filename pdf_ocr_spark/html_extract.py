@@ -82,13 +82,16 @@ class _Extractor(HTMLParser):
             self.buf.append(data)
 
 
-def extract_html_blocks(html: str, strip_tags=None,
-                        repeat_threshold: int | None = None) -> list:
-    """HTML -> list of main-content block texts (boilerplate removed)."""
-    if strip_tags is None:
-        strip_tags = DEFAULT.html_strip_tags
-    if repeat_threshold is None:
-        repeat_threshold = DEFAULT.html_repeat_threshold
+# strip tags whose content genuinely is not rendered: safe to suppress
+# even when left unclosed. The remaining (soft) strip tags — nav, header,
+# footer, aside, form, button — are boilerplate CONTAINERS a sloppy
+# document may never close; html.parser does no implicit closing, so an
+# unclosed one would suppress the whole rest of the document.
+_HARD_STRIP = {"script", "style", "noscript", "template", "iframe",
+               "svg", "head", "title"}
+
+
+def _parse_blocks(html: str, strip_tags, repeat_threshold: int) -> list:
     parser = _Extractor(strip_tags)
     parser.feed(html)
     parser.close()
@@ -97,6 +100,29 @@ def extract_html_blocks(html: str, strip_tags=None,
     counts = Counter(blocks)
     boilerplate = {t for t, c in counts.items() if c >= repeat_threshold}
     return [b for b in blocks if b not in boilerplate]
+
+
+def extract_html_blocks(html: str, strip_tags=None,
+                        repeat_threshold: int | None = None) -> list:
+    """HTML -> list of main-content block texts (boilerplate removed).
+
+    Recovery fallback (code-review r3): if the full strip-tag set
+    suppresses EVERYTHING — the signature of real-world markup like
+    '<body><form>...<p>main content</p>' whose boilerplate container
+    never closes (DOM-subtree strippers share this hole: a tolerant
+    parser attaches the rest of body under the unclosed element) — the
+    document is re-parsed with only the hard strip tags, trading some
+    boilerplate leakage for not losing the entire turn."""
+    if strip_tags is None:
+        strip_tags = DEFAULT.html_strip_tags
+    if repeat_threshold is None:
+        repeat_threshold = DEFAULT.html_repeat_threshold
+    blocks = _parse_blocks(html, strip_tags, repeat_threshold)
+    if not blocks:
+        hard = [t for t in strip_tags if t in _HARD_STRIP]
+        if set(hard) != set(strip_tags):
+            blocks = _parse_blocks(html, hard, repeat_threshold)
+    return blocks
 
 
 def extract_html_text(html: str, **kw) -> str:

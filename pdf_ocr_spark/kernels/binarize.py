@@ -88,9 +88,11 @@ _METHODS = {
 }
 
 
-def binarize(img: np.ndarray, method: str = "otsu") -> np.ndarray:
-    """String-dispatched binarize (reference binarize.py:152-182)."""
+def binarize(img: np.ndarray, method: str = "otsu", **kw) -> np.ndarray:
+    """String-dispatched binarize (reference binarize.py:152-182).
+    Extra kwargs forward to the method (e.g. ``threshold=`` for
+    ``simple`` — EngineConfig.binarize_threshold's consumer)."""
     fn = _METHODS.get(method)
     if fn is None:
         raise ValueError(f"unknown binarize method: {method}")
-    return fn(img)
+    return fn(img, **kw)

@@ -122,12 +122,8 @@ def build_pdf(pages: list) -> bytes:
         return len(objects)
 
     page_obj_ids = []
-    kids_placeholder = add(b"")  # obj 2 = Pages (patched later); obj 1 = Catalog
-    # reserve object 1 for catalog by shifting: simpler to append catalog last
-    # Actually: we pre-assign ids: 1=Catalog, 2=Pages. Build others after.
-    objects.clear()
     add(b"<< /Type /Catalog /Pages 2 0 R >>")          # obj 1
-    pages_idx = add(b"PLACEHOLDER")                      # obj 2
+    pages_idx = add(b"PLACEHOLDER")                      # obj 2 (patched)
 
     for p in pages:
         if isinstance(p, TextPage):

@@ -130,4 +130,10 @@ def frame_sample_indices(n_frames: int, k: int) -> list:
     (pdf_detector.py:61-67)."""
     if n_frames <= k:
         return list(range(n_frames))
+    if k <= 0:
+        return []
+    if k == 1:
+        # single sample: the middle frame (degenerate head/mid/tail);
+        # the k-1 spacing formula below would divide by zero
+        return [(n_frames - 1) // 2]
     return sorted({round(i * (n_frames - 1) / (k - 1)) for i in range(k)})

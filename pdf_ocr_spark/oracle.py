@@ -271,7 +271,9 @@ def extract_turn(text: str, cfg: EngineConfig = DEFAULT,
 def _extract_pdf(pdf: MiniPdf, cfg: EngineConfig,
                  dpi: int | None) -> TurnResult:
     info = detect_pdf(pdf, threshold=cfg.pdf_text_threshold,
-                      sample_page_limit=cfg.detect_sample_page_limit)
+                      sample_page_limit=cfg.detect_sample_page_limit,
+                      sample_head=cfg.detect_sample_head,
+                      sample_tail=cfg.detect_sample_tail)
     target_pages = list(range(info.page_count))  # pages=None => all
     # clamp dpi like the renderer (pdf_renderer.py:38-43)
     dpi = dpi or cfg.default_dpi

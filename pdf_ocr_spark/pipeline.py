@@ -340,6 +340,21 @@ def run_extraction(
         if done:
             df = df.filter(~F.col("bucket").isin(sorted(done)))
 
+    # nothing to process (empty input, or every bucket already done
+    # against a fresh/cleared output path): writing an empty frame to a
+    # fresh output dir leaves no parquet data files and the lineage
+    # read-back below cannot infer a schema — return zeroed metrics
+    # instead of crashing after the (no-op) write (code-review r3)
+    if df.isEmpty():
+        return {
+            "run_id": run_id, "rows_out": 0,
+            "skipped_buckets": len(done),
+            "wall_time_s": time.time() - t0, "write_phase_s": 0.0,
+            "bookkeeping_s": 0.0, "turns_per_sec": 0.0,
+            "payload_cache_hits": 0, "payload_cache_misses": 0,
+            "rows_enriched": 0,
+        }
+
     # per-worker payload-cache observability (VERDICT r2 #7): accumulators
     # make the dedup-before-decode claim auditable — with the distinct
     # pre-pass, payload-cache hits should be ~0 in the heavy path (each

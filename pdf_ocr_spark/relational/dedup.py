@@ -183,7 +183,10 @@ def q_dedup_minhash(spark, sf_dir,
     verify joins shingle sets for candidate pairs only."""
     d = t(spark, sf_dir, "documents")
     members, rep_docs = _dedup_groups(d)
-    sh = _shingles_of(rep_docs)
+    # the shingle frame feeds banding, both verify sides, and the size
+    # counts — localCheckpoint materializes it once instead of re-running
+    # the scan->split->explode->distinct lineage four times
+    sh = _shingles_of(rep_docs).localCheckpoint(eager=True)
     cand = minhash_band_candidates(sh, n_hashes, n_bands, max_band_bucket)
     rep_pairs = _verify_jaccard(cand, sh)
     return _reassociate(rep_pairs, members, rep_docs) \

@@ -61,17 +61,28 @@ def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
     return spark
 
 
+_PKG_ZIP_DIR: str | None = None
+
+
 def package_zip(out_dir: str | None = None) -> str:
     """Zip the pdf_ocr_spark package for --py-files / addPyFile.
 
     The same artifact a cluster deployment passes to
-    ``spark-submit --py-files`` (see jobs/run_extract.py)."""
+    ``spark-submit --py-files`` (see jobs/run_extract.py). Default
+    output is a per-process temp directory (created once, reused):
+    a fixed shared path would let concurrent sessions on one host
+    truncate each other's zip while executors fetch it
+    (code-review r3)."""
+    global _PKG_ZIP_DIR
     import pathlib
     import tempfile
     import zipfile
 
     pkg_dir = pathlib.Path(__file__).resolve().parent
-    out_dir = out_dir or tempfile.gettempdir()
+    if out_dir is None:
+        if _PKG_ZIP_DIR is None:
+            _PKG_ZIP_DIR = tempfile.mkdtemp(prefix="pdf_ocr_spark_pkg_")
+        out_dir = _PKG_ZIP_DIR
     zip_path = str(pathlib.Path(out_dir) / "pdf_ocr_spark.zip")
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for py in sorted(pkg_dir.rglob("*.py")):

@@ -62,3 +62,21 @@ def test_spark_substring_agrees_with_python_spans(spark):
     got = df.select(
         F.substring("t", 7, 1).alias("g")).collect()[0]["g"]
     assert got == text[6:7] == "🌍"
+
+
+def test_payload_cache_is_config_keyed():
+    """A reused worker must never serve results decoded under a
+    different EngineConfig (code-review r3): the same payload with a
+    config that flips its routing must re-extract, not cache-hit."""
+    import random
+    import pandas as pd
+    from pdf_ocr_spark.config import EngineConfig
+    from pdf_ocr_spark.extract import extract_batch
+    from pdf_ocr_spark.fixtures import _pdf_payload
+    payload = _pdf_payload(random.Random(3), "text")
+    a = extract_batch(pd.Series([payload]), EngineConfig())
+    # absurd text threshold => every page classifies as image => OCR path
+    b = extract_batch(pd.Series([payload]),
+                      EngineConfig(pdf_text_threshold=10 ** 6))
+    assert a["method"][0] == "extract"
+    assert b["method"][0] == "ocr"

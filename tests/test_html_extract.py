@@ -67,3 +67,23 @@ def test_nested_strip_tag():
 def test_malformed_html_no_crash():
     assert extract_html_blocks("<html><p>unclosed <b>bold") == \
         ["unclosed bold"]
+
+
+def test_unclosed_boilerplate_container_recovery():
+    """Real-world markup whose <form> (or nav/header) never closes must
+    not lose the whole document: the recovery fallback re-parses with
+    only the hard strip tags (code-review r3)."""
+    from pdf_ocr_spark.html_extract import extract_html_blocks
+    html = ("<html><body><form action='/q'><input name='x'>"
+            "<p>main content survives</p><p>second paragraph</p>")
+    blocks = extract_html_blocks(html)
+    assert "main content survives" in blocks
+    assert "second paragraph" in blocks
+    # hard suppressors stay suppressed even in the fallback parse
+    html2 = ("<body><form><script>var x = 'dead';</script>"
+             "<p>visible</p>")
+    blocks2 = extract_html_blocks(html2)
+    assert blocks2 == ["visible"]
+    # and a well-formed document is unaffected (no fallback triggered)
+    html3 = ("<body><nav>menu</nav><p>article text</p>")
+    assert extract_html_blocks(html3) == ["article text"]

@@ -147,3 +147,19 @@ def test_enrich_post_stage_composes_with_pipeline(
                         enrich_chunk=fake_llm, enrich_path=enr2)
     assert m2["rows_out"] == 0 and m2["skipped_buckets"] > 0
     assert m2["rows_enriched"] == 0
+
+
+def test_empty_input_returns_zeroed_metrics(spark, tmp_path):
+    """run_extraction over an empty table must not crash on the
+    schema-less output read-back (code-review r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "text": pa.array([], pa.string()),
+    }), empty)
+    m = run_extraction(spark, empty, str(tmp_path / "out"),
+                       str(tmp_path / "lin"), run_id="e", resume=False)
+    assert m["rows_out"] == 0 and m["turns_per_sec"] == 0.0

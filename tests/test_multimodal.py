@@ -80,3 +80,10 @@ def test_feature_extraction_spark(spark):
     # the unsupported codec is contained as an error row
     bad = by_id[99]
     assert bad["error"] and bad["mean_intensity"] is None
+
+
+def test_frame_sample_single_and_zero():
+    import pdf_ocr_spark.multimodal as mm
+    assert mm.frame_sample_indices(100, 1) == [49]  # middle frame
+    assert mm.frame_sample_indices(100, 0) == []
+    assert mm.frame_sample_indices(1, 1) == [0]

@@ -77,6 +77,15 @@ def test_minhash_dedup_prepass_plan_locks(spark):
     assert "partial_min" in plan  # map-side combine of the 64 sig mins
 
 
+def test_ngram_jaccard_plan_locks(spark):
+    """Inverted-index similarity must stay equi-join shaped: no
+    cartesian/nested-loop anywhere even with the pre-pass + fan-out."""
+    from pdf_ocr_spark.relational.dedup import q_dedup_ngram_jaccard
+    plan = _plan(q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_assemble_conversations(spark):
     from pdf_ocr_spark.export import assemble_conversations
     df = spark.createDataFrame(
