@@ -298,14 +298,27 @@ SQL_DEDUP_MINHASH = make_minhash_sql()
 
 
 # --- SimHash ---------------------------------------------------------------
-def _simhash_spark():
+def _simhash_spark(n_bits: int = 16):
     h2 = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
           .cast("long") % MOD)
     bit_sums = [
         F.sum(F.shiftright(h2, k).bitwiseAND(F.lit(1)) * 2 - 1)
-        .alias(f"bs{k}") for k in range(16)
+        .alias(f"bs{k}") for k in range(n_bits)
     ]
     return bit_sums
+
+
+def _simhash_of(docs, n_bits: int = 16):
+    """(doc_id, simhash) for documents with at least one non-empty
+    token (n_bits-wide fingerprint; docs with no tokens have no row)."""
+    toks = (docs.select("doc_id",
+                        F.explode(F.split("text", " ")).alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    sums = toks.groupBy("doc_id").agg(*_simhash_spark(n_bits))
+    return sums.select(
+        "doc_id",
+        sum((F.when(F.col(f"bs{k}") >= 0, 1).otherwise(0)
+             * (1 << k)) for k in range(n_bits)).alias("simhash"))
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -313,28 +326,20 @@ def q_dedup_simhash(spark, sf_dir):
     (+1/-1) votes from token-hash bit k is >= 0. Equal fingerprints =
     near-duplicate cluster; output is the per-document fingerprint plus
     its cluster size."""
-    d = t(spark, sf_dir, "documents")
-    toks = (d.select("doc_id",
-                     F.explode(F.split("text", " ")).alias("tok"))
-            .filter(F.col("tok") != "").distinct())
-    sums = toks.groupBy("doc_id").agg(*_simhash_spark())
-    sim = sums.select(
-        "doc_id",
-        sum((F.when(F.col(f"bs{k}") >= 0, 1).otherwise(0)
-             * (1 << k)) for k in range(16)).alias("simhash"))
+    sim = _simhash_of(t(spark, sf_dir, "documents"))
     counts = sim.groupBy("simhash").agg(F.count("*").alias("cluster_size"))
     return (sim.join(counts, "simhash")
             .select("doc_id", "simhash", "cluster_size")
             .orderBy("doc_id"))
 
 
-def _simhash_sql():
+def _simhash_sql(n_bits: int = 16):
     h2 = f"({hash60_sql('tok')} % {MOD})"
     bit_exprs = ", ".join(
         f"CASE WHEN sum((({h2} >> {k}) & 1) * 2 - 1) >= 0 "
         f"THEN {1 << k} ELSE 0 END AS bit{k}"
-        for k in range(16))
-    total = " + ".join(f"bit{k}" for k in range(16))
+        for k in range(n_bits))
+    total = " + ".join(f"bit{k}" for k in range(n_bits))
     return bit_exprs, total
 
 
@@ -356,6 +361,112 @@ SELECT s.doc_id, s.simhash, c.cluster_size
 FROM sim s JOIN counts c ON s.simhash = c.simhash
 ORDER BY s.doc_id
 """
+
+
+# --- SimHash Hamming-distance near-dup pairs --------------------------------
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_HAMMING_BITS = 32  # 4 bands x 8 bits (Manku et al. use 64/16)
+
+
+def q_dedup_simhash_hamming(spark, sf_dir,
+                            max_hamming: int = SIMHASH_MAX_HAMMING,
+                            n_bits: int = SIMHASH_HAMMING_BITS):
+    """Near-duplicate pairs by SimHash Hamming distance (the Manku et
+    al. WWW'07 scheme at a 32-bit fingerprint): split the fingerprint
+    into max_hamming+1 = 4 bands of 8 bits — any pair within Hamming
+    distance 3 must agree EXACTLY on at least one band (pigeonhole) —
+    equi-join on (band_idx, band_bits), then verify with
+    popcount(xor) <= 3 on the candidates only.
+
+    Runs over distinct-text representatives (the shared exact-dedup
+    pre-pass): identical texts have identical fingerprints, so a
+    dup-heavy corpus would otherwise flood every band bucket; intra-group
+    pairs reassociate at distance 0 and rep-pair distances fan out.
+
+    Scale shape: one equi-join on 8-bit band keys per band (single
+    posexplode, one shuffle), exact verification on candidates — the
+    same band/verify pattern as MinHash-LSH but with a DETERMINISTIC
+    candidate guarantee (every true pair is caught, no probabilistic
+    recall). At 10^12 docs widen the fingerprint/bands (64/16-bit, the
+    paper's production point) — same plan shape."""
+    assert n_bits % (max_hamming + 1) == 0
+    d = t(spark, sf_dir, "documents")
+    members, rep_docs = _dedup_groups(d)
+    sim = _simhash_of(rep_docs, n_bits)
+    n_bands = max_hamming + 1
+    band_w = n_bits // n_bands
+    band_mask = (1 << band_w) - 1
+    band_arr = F.array(*[
+        F.shiftright(F.col("simhash"), band_w * b)
+        .bitwiseAND(F.lit(band_mask))
+        for b in range(n_bands)])
+    banded = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(band_arr).alias("band_idx", "band_bits"))
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sim_a"),
+                      "band_idx", "band_bits")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sim_b"),
+                      "band_idx", "band_bits")
+    rep_pairs = (
+        a.join(b, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+                .alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming))
+
+    # reassociate to group members (pairs carry hamming, not jaccard):
+    # eligibility = the rep HAS a fingerprint (>= 1 non-empty token)
+    emembers = (members.filter(F.col("grp_n") > 1)
+                .join(sim.select(F.col("doc_id").alias("rep_id")),
+                      "rep_id"))
+    p = emembers.select("th", F.col("doc_id").alias("doc_a"))
+    q = emembers.select("th", F.col("doc_id").alias("doc_b"))
+    intra = (p.join(q, "th").filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b",
+                     F.lit(0).cast("int").alias("hamming")))
+    ma = members.select(F.col("rep_id").alias("doc_a"),
+                        F.col("doc_id").alias("xa"))
+    mb = members.select(F.col("rep_id").alias("doc_b"),
+                        F.col("doc_id").alias("xb"))
+    inter = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
+             .select(F.least("xa", "xb").alias("doc_a"),
+                     F.greatest("xa", "xb").alias("doc_b"), "hamming"))
+    return intra.unionByName(inter).orderBy("doc_a", "doc_b")
+
+
+def make_simhash_hamming_sql(
+        max_hamming: int = SIMHASH_MAX_HAMMING,
+        n_bits: int = SIMHASH_HAMMING_BITS) -> str:
+    """DuckDB oracle twin: the NAIVE all-pairs form (every pair of
+    fingerprinted docs, popcount of xor, threshold) — band candidate
+    generation is exhaustive by the pigeonhole guarantee, so the outputs
+    are identical."""
+    bits, total = _simhash_sql(n_bits)
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+sums AS (
+  SELECT doc_id, {bits}
+  FROM (SELECT * FROM toks WHERE tok <> '') GROUP BY doc_id
+),
+sim AS (SELECT doc_id, {total} AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))::INT
+         AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT))
+      <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_DEDUP_SIMHASH_HAMMING = make_simhash_hamming_sql()
 
 
 # --- direct n-gram Jaccard (inverted-index join, no LSH) --------------------
@@ -539,5 +650,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard,
                             SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_hamming": (q_dedup_simhash_hamming,
+                              SQL_DEDUP_SIMHASH_HAMMING),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
 }

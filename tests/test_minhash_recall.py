@@ -103,6 +103,43 @@ def test_cluster_transitivity_chain(spark, tmp_path):
     assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
 
 
+def test_simhash_hamming_exhaustive_vs_bruteforce(spark, corpus):
+    """The 4x8-bit band join must be EXHAUSTIVE for Hamming <= 3
+    (pigeonhole guarantee — unlike MinHash there is no probabilistic
+    recall): the full result must equal a driver-side brute force over
+    all pairs, distances included."""
+    import hashlib
+    import pyarrow.parquet as pq
+    from pdf_ocr_spark.relational.dedup import q_dedup_simhash_hamming
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in q_dedup_simhash_hamming(spark, corpus["dir"])
+           .collect()}
+
+    tbl = pq.read_table(corpus["dir"] + "/documents.parquet")
+    MOD = 1_000_000_007
+    sims = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(),
+                            tbl["text"].to_pylist()):
+        toks = {t for t in text.split(" ") if t}
+        if not toks:
+            continue
+        votes = [0] * 32
+        for tok in toks:
+            h2 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MOD
+            for k in range(32):
+                votes[k] += 1 if (h2 >> k) & 1 else -1
+        sims[doc_id] = sum((1 << k) for k in range(32) if votes[k] >= 0)
+    ids = sorted(sims)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    assert got == want
+
+
 def test_connected_components_long_chain_converges_by_pointer_jumping(
         spark):
     """A 300-node path graph has diameter 299: plain min-label
