@@ -55,6 +55,70 @@ def sort_reading_order(texts, boxes, confs):
     return ([texts[i] for i in order], boxes[order], confs[order])
 
 
+def detect_columns(boxes: np.ndarray, img_width: int,
+                   min_gap_frac: float = 0.04,
+                   n_bins: int = 256) -> list:
+    """Column spans via the vertical whitespace-projection profile: bin
+    the x-axis, mark bins covered by any box, and treat uncovered runs
+    wider than ``min_gap_frac`` * page width (ignoring the outer
+    margins) as column separators. Returns [(x_start, x_end), ...]
+    left-to-right; a single span means no column structure.
+
+    The reference has no column logic (postprocess.py sorts purely by
+    (y, x)); this is an ENGINE ADDITION for multi-column documents,
+    off by default so byte-equality with the reference is untouched.
+    Standard public technique (whitespace/projection profile analysis,
+    e.g. the X-Y cut family)."""
+    if len(boxes) == 0 or img_width <= 0:
+        return [(0.0, float(img_width))]
+    x_min, x_max, _, _, _ = geom(boxes)
+    lo = np.clip((x_min / img_width * n_bins).astype(int), 0, n_bins - 1)
+    hi = np.clip(np.ceil(x_max / img_width * n_bins).astype(int),
+                 1, n_bins)
+    covered = np.zeros(n_bins, dtype=bool)
+    for a, b in zip(lo, hi):
+        covered[a:b] = True
+    # interior uncovered runs only: clip off the outer margins
+    first = int(np.argmax(covered))
+    last = n_bins - int(np.argmax(covered[::-1]))
+    min_gap_bins = max(1, int(min_gap_frac * n_bins))
+    spans = []
+    span_start = first
+    run = 0
+    for i in range(first, last):
+        if covered[i]:
+            if run >= min_gap_bins:
+                spans.append((span_start, i - run))
+                span_start = i
+            run = 0
+        else:
+            run += 1
+    spans.append((span_start, last))
+    scale = img_width / n_bins
+    return [(s * scale, e * scale) for s, e in spans]
+
+
+def sort_reading_order_columns(texts, boxes, confs, img_width,
+                               min_gap_frac: float = 0.04):
+    """Column-aware reading order: boxes are assigned to the detected
+    column containing their x-center and sorted column-major —
+    (column, y_min, x_min) — so a two-column page reads left column
+    top-to-bottom, then right column, instead of interleaving rows.
+    Falls back to the plain (y, x) order when one column is detected."""
+    if len(texts) == 0:
+        return texts, boxes, confs
+    cols = detect_columns(boxes, img_width, min_gap_frac)
+    if len(cols) <= 1:
+        return sort_reading_order(texts, boxes, confs)
+    x_min, x_max, y_min, _, _ = geom(boxes)
+    centers = (x_min + x_max) / 2.0
+    starts = np.array([s for s, _ in cols])
+    col_idx = np.clip(np.searchsorted(starts, centers, side="right") - 1,
+                      0, len(cols) - 1)
+    order = np.lexsort((x_min, y_min, col_idx))  # last key primary
+    return ([texts[i] for i in order], boxes[order], confs[order])
+
+
 def filter_margins(texts, boxes, confs, width, height,
                    ignore_top=0.0, ignore_bottom=0.0,
                    ignore_left=0.0, ignore_right=0.0):
@@ -233,14 +297,21 @@ def remove_headers_footers(pages: list, repeat_threshold: int = 3) -> list:
 def process_page(texts, boxes, confs, page_num: int = 0,
                  img_width: int = 0, img_height: int = 0,
                  ignore_top=0.0, ignore_bottom=0.0, ignore_left=0.0,
-                 ignore_right=0.0, spacing_threshold: float = 1.5) -> PageParas:
+                 ignore_right=0.0, spacing_threshold: float = 1.5,
+                 column_aware: bool = False) -> PageParas:
     """Full single-page chain (postprocess.py:75-103): margins -> sort ->
-    merge -> paragraphs."""
+    merge -> paragraphs. ``column_aware=True`` switches the ordering to
+    column-major (engine addition; default False preserves the
+    reference's exact (y, x) order and byte-equality)."""
     if any([ignore_top, ignore_bottom, ignore_left, ignore_right]):
         texts, boxes, confs = filter_margins(
             texts, boxes, confs, img_width, img_height,
             ignore_top, ignore_bottom, ignore_left, ignore_right)
-    texts, boxes, confs = sort_reading_order(texts, boxes, confs)
+    if column_aware:
+        texts, boxes, confs = sort_reading_order_columns(
+            texts, boxes, confs, img_width)
+    else:
+        texts, boxes, confs = sort_reading_order(texts, boxes, confs)
     m_texts, m_boxes, m_confs = merge_same_row(texts, boxes, confs)
     paras = rebuild_paragraphs(m_texts, m_boxes, m_confs, spacing_threshold)
     return PageParas(page_num=page_num, paragraphs=paras)

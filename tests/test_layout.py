@@ -239,3 +239,65 @@ def test_format_text_effective_mapping():
     assert layout.format_text("囗") == "□"
     assert layout.format_text("a，  b") == "a，b"
     assert layout.format_text("x,y") == "x, y"
+
+
+def _cbox(x0, y0, w, h):
+    return [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h]]
+
+
+def test_column_detection_and_column_major_order():
+    """Engine addition (north-star 'column detection'): a two-column
+    page must read left column top-to-bottom then right column, where
+    the reference's pure (y, x) sort would interleave the rows."""
+    import numpy as np
+    from pdf_ocr_spark.ocr.layout import (
+        detect_columns, sort_reading_order, sort_reading_order_columns)
+    texts = ["L1", "R1", "L2", "R2", "L3", "R3"]
+    boxes = np.array([
+        _cbox(50, 100, 300, 20), _cbox(650, 105, 300, 20),
+        _cbox(50, 200, 300, 20), _cbox(650, 205, 300, 20),
+        _cbox(50, 300, 300, 20), _cbox(650, 305, 300, 20),
+    ], dtype=float)
+    confs = np.ones(6)
+    cols = detect_columns(boxes, img_width=1000)
+    assert len(cols) == 2
+    assert cols[0][0] < 400 < cols[1][0]
+    plain, _, _ = sort_reading_order(texts, boxes, confs)
+    assert plain == ["L1", "R1", "L2", "R2", "L3", "R3"]  # interleaved
+    colwise, _, _ = sort_reading_order_columns(texts, boxes, confs, 1000)
+    assert colwise == ["L1", "L2", "L3", "R1", "R2", "R3"]
+
+
+def test_column_detection_single_column_falls_back():
+    """A normal single-column page must order exactly like the
+    reference path (no behavior change when no gap exists)."""
+    import numpy as np
+    from pdf_ocr_spark.ocr.layout import (
+        detect_columns, sort_reading_order, sort_reading_order_columns)
+    texts = ["a", "b", "c"]
+    boxes = np.array([_cbox(50, 300, 800, 20), _cbox(60, 100, 700, 20),
+                      _cbox(55, 200, 780, 20)], dtype=float)
+    confs = np.ones(3)
+    assert len(detect_columns(boxes, img_width=900)) == 1
+    assert sort_reading_order_columns(texts, boxes, confs, 900)[0] \
+        == sort_reading_order(texts, boxes, confs)[0] == ["b", "c", "a"]
+
+
+def test_process_page_column_aware_flag_default_off():
+    """column_aware defaults to False: the byte-equality path is
+    untouched; True switches to column-major assembly."""
+    import numpy as np
+    from pdf_ocr_spark.ocr.layout import process_page
+    texts = ["L1", "R1", "L2", "R2"]
+    boxes = np.array([
+        _cbox(50, 100, 300, 20), _cbox(650, 105, 300, 20),
+        _cbox(50, 400, 300, 20), _cbox(650, 405, 300, 20),
+    ], dtype=float)
+    confs = np.ones(4)
+    off = process_page(texts, boxes, confs, img_width=1000,
+                       img_height=1200)
+    on = process_page(texts, boxes, confs, img_width=1000,
+                      img_height=1200, column_aware=True)
+    assert "".join(p.text for p in off.paragraphs).startswith("L1 R1")
+    joined = " ".join(p.text for p in on.paragraphs)
+    assert joined.index("L2") < joined.index("R1")
