@@ -370,7 +370,8 @@ SIMHASH_HAMMING_BITS = 32  # 4 bands x 8 bits (Manku et al. use 64/16)
 
 def q_dedup_simhash_hamming(spark, sf_dir,
                             max_hamming: int = SIMHASH_MAX_HAMMING,
-                            n_bits: int = SIMHASH_HAMMING_BITS):
+                            n_bits: int = SIMHASH_HAMMING_BITS,
+                            max_band_bucket: int | None = None):
     """Near-duplicate pairs by SimHash Hamming distance (the Manku et
     al. WWW'07 scheme at a 32-bit fingerprint): split the fingerprint
     into max_hamming+1 = 4 bands of 8 bits — any pair within Hamming
@@ -403,6 +404,26 @@ def q_dedup_simhash_hamming(spark, sf_dir,
     banded = sim.select(
         "doc_id", "simhash",
         F.posexplode(band_arr).alias("band_idx", "band_bits"))
+    if max_band_bucket is not None:
+        # same escape hatch as minhash_band_candidates: on a corpus of
+        # near-identical-but-unequal texts a band value shared by m reps
+        # yields m^2/2 candidates; cap trades recall (logged) for a
+        # bound. Note the candidate guarantee is no longer exhaustive
+        # for members of dropped buckets.
+        over = (banded.groupBy("band_idx", "band_bits")
+                .agg(F.count("*").alias("bn"))
+                .filter(F.col("bn") > max_band_bucket)
+                .select("band_idx", "band_bits")
+                .localCheckpoint(eager=True))
+        n_over = over.count()
+        if n_over:
+            import logging
+            logging.getLogger(__name__).warning(
+                "q_dedup_simhash_hamming: dropping %d band buckets over "
+                "cap %d (recall loss for their members)",
+                n_over, max_band_bucket)
+        banded = banded.join(F.broadcast(over),
+                             ["band_idx", "band_bits"], "left_anti")
     a = banded.select(F.col("doc_id").alias("doc_a"),
                       F.col("simhash").alias("sim_a"),
                       "band_idx", "band_bits")

@@ -140,6 +140,30 @@ def test_simhash_hamming_exhaustive_vs_bruteforce(spark, corpus):
     assert got == want
 
 
+def test_simhash_hamming_band_bucket_cap(spark, tmp_path):
+    """max_band_bucket bounds the simhash band join the same way the
+    MinHash cap does: fewer candidate pairs survive, with the overflow
+    logged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_ocr_spark.relational.dedup import q_dedup_simhash_hamming
+    base = [f"w{i:02d}" for i in range(40)]
+    docs = []
+    for d in range(40):
+        mut = list(base)
+        mut[d % 40] = f"m{d:03d}"
+        docs.append(" ".join(mut))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    uncapped = q_dedup_simhash_hamming(spark, str(tmp_path)).count()
+    capped = q_dedup_simhash_hamming(spark, str(tmp_path),
+                                     max_band_bucket=5).count()
+    assert uncapped > 0
+    assert capped < uncapped
+
+
 def test_connected_components_long_chain_converges_by_pointer_jumping(
         spark):
     """A 300-node path graph has diameter 299: plain min-label
