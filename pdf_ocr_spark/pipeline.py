@@ -405,12 +405,14 @@ def run_extraction(
         enriched = enrich_reformat(written, enrich_chunk,
                                    passthrough=("bucket",))
         overwrite_partitions(enriched, enrich_path, "bucket")
-        # count THIS run's enriched rows (skipped buckets excluded), not
-        # the whole table — a resumed run must not report prior work
+        # count THIS run's enriched rows: semi-join against the buckets
+        # this run actually wrote — filtering only by `done` would also
+        # count buckets left in enrich_path by earlier runs that are not
+        # in this run's done set (resume=False, or a different
+        # input_snapshot_id inflating the metric; ADVICE r3)
         enr = load_table(spark, enrich_path)
-        if done:
-            enr = enr.filter(~F.col("bucket").isin(sorted(done)))
-        n_enriched = enr.count()
+        n_enriched = enr.join(written.select("bucket").distinct(),
+                              "bucket", "left_semi").count()
 
     # metrics from the (tiny) lineage table, not a rescan of the output
     n_out = sum(

@@ -106,7 +106,12 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1 rounds: convergence is only observable one round
+    # late (a round that produces no change), so a graph reaching the
+    # fixpoint exactly on round max_iters needs one extra verification
+    # round — otherwise it would spuriously raise (ADVICE r3). The
+    # extra round does no new work at the fixpoint.
+    for _ in range(max_iters + 1):
         # (1) neighbor-min propagation
         prop = (edges.join(labels, edges["src"] == labels[id_col])
                 .select(F.col("dst").alias(id_col), "cluster_id"))
