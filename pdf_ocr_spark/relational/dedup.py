@@ -2,8 +2,10 @@
 
 Exact (hash group-by), MinHash+LSH banding with Jaccard verification, and
 SimHash clustering. All hash arithmetic uses the portable md5-based 60-bit
-hash (util.hash60) reduced mod 1e9+7 so Spark and the DuckDB oracle agree
-bit-for-bit.
+hash (util.hash60) so Spark and the DuckDB oracle agree bit-for-bit;
+MinHash and the 16-bit SimHash clustering reduce it mod 1e9+7, while the
+SimHash Hamming variant consumes the full 60 bits (every fingerprint bit
+must be informative for the pigeonhole band join).
 """
 
 from __future__ import annotations
@@ -197,10 +199,20 @@ def _dedup_groups(d):
     """Exact-dedup pre-pass frames: ``members`` (th, doc_id, rep_id,
     grp_n) maps every document to its distinct-text representative
     (min doc_id per md5(text)); ``rep_docs`` is one document row per
-    distinct text."""
+    distinct text.
+
+    Pay-as-you-go (VERDICT r3): a cheap existence probe (partial-agg
+    group-by + limit 1 — one extra job, no wide join) first checks
+    whether ANY text is duplicated. A dup-free corpus returns
+    ``(None, d)``: callers skip the representative semi-join and the
+    reassociation joins entirely, so the pre-pass costs ~one agg pass
+    when it has nothing to do instead of the 0-2.2 s (sf0.1,
+    window-dependent) the always-on joins measured."""
     groups = d.select("doc_id", F.md5("text").alias("th"))
     sizes_g = groups.groupBy("th").agg(F.min("doc_id").alias("rep_id"),
                                        F.count("*").alias("grp_n"))
+    if not sizes_g.filter(F.col("grp_n") > 1).take(1):
+        return None, d
     members = groups.join(sizes_g, "th")
     rep_docs = d.join(sizes_g.select(F.col("rep_id").alias("doc_id")),
                       "doc_id", "left_semi")
@@ -219,7 +231,11 @@ def _reassociate(rep_pairs, members, rep_docs):
       every document.
     * inter-group fan-out: a rep pair's jaccard holds for every member
       pair (identical shingle sets within a group). rep_pairs is the
-      small side — these plan as broadcast joins over the member list."""
+      small side — these plan as broadcast joins over the member list.
+    * dup-free corpus (``members is None``): reps ARE the documents, so
+      rep_pairs is already the answer — no joins at all."""
+    if members is None:
+        return rep_pairs
     elig = (rep_docs.filter(F.size(F.split("text", " ")) >= 3)
             .select(F.col("doc_id").alias("rep_id")))
     emembers = (members.filter(F.col("grp_n") > 1).join(elig, "rep_id"))
@@ -298,9 +314,24 @@ SQL_DEDUP_MINHASH = make_minhash_sql()
 
 
 # --- SimHash ---------------------------------------------------------------
-def _simhash_spark(n_bits: int = 16):
+# hash60 yields 15 hex digits = 60 informative bits; the % MOD reduction
+# (MOD < 2^30) keeps only ~30. The clustering variant (q_dedup_simhash,
+# 16-bit) keeps the reduced form for oracle-twin parity; the Hamming
+# variant derives bits from the FULL hash so every fingerprint bit is
+# informative and widths up to 60 are usable (ADVICE r3: with % MOD,
+# bits 30+ were identically 0 — at n_bits=32 band 3 was effectively
+# 6-bit, and any widening past 30 would degenerate whole bands to a
+# constant, turning the pigeonhole band join into an all-pairs join).
+_HASH_BITS_FULL = 60    # hash60 width; also < 63 so 1 << k never
+                        # overflows Spark's signed LongType
+_HASH_BITS_MOD = 30     # MOD = 1e9+7 < 2^30
+
+
+def _simhash_spark(n_bits: int = 16, full_hash: bool = False):
     h2 = (F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)
-          .cast("long") % MOD)
+          .cast("long"))
+    if not full_hash:
+        h2 = h2 % MOD
     bit_sums = [
         F.sum(F.shiftright(h2, k).bitwiseAND(F.lit(1)) * 2 - 1)
         .alias(f"bs{k}") for k in range(n_bits)
@@ -308,13 +339,16 @@ def _simhash_spark(n_bits: int = 16):
     return bit_sums
 
 
-def _simhash_of(docs, n_bits: int = 16):
+def _simhash_of(docs, n_bits: int = 16, full_hash: bool = False):
     """(doc_id, simhash) for documents with at least one non-empty
-    token (n_bits-wide fingerprint; docs with no tokens have no row)."""
+    token (n_bits-wide fingerprint; docs with no tokens have no row).
+    ``full_hash`` takes bits from the un-reduced 60-bit hash."""
+    assert n_bits <= (_HASH_BITS_FULL if full_hash else _HASH_BITS_MOD), \
+        "n_bits exceeds the informative width of the token hash"
     toks = (docs.select("doc_id",
                         F.explode(F.split("text", " ")).alias("tok"))
             .filter(F.col("tok") != "").distinct())
-    sums = toks.groupBy("doc_id").agg(*_simhash_spark(n_bits))
+    sums = toks.groupBy("doc_id").agg(*_simhash_spark(n_bits, full_hash))
     return sums.select(
         "doc_id",
         sum((F.when(F.col(f"bs{k}") >= 0, 1).otherwise(0)
@@ -333,8 +367,10 @@ def q_dedup_simhash(spark, sf_dir):
             .orderBy("doc_id"))
 
 
-def _simhash_sql(n_bits: int = 16):
-    h2 = f"({hash60_sql('tok')} % {MOD})"
+def _simhash_sql(n_bits: int = 16, full_hash: bool = False):
+    assert n_bits <= (_HASH_BITS_FULL if full_hash else _HASH_BITS_MOD)
+    h2 = f"({hash60_sql('tok')})" if full_hash \
+        else f"({hash60_sql('tok')} % {MOD})"
     bit_exprs = ", ".join(
         f"CASE WHEN sum((({h2} >> {k}) & 1) * 2 - 1) >= 0 "
         f"THEN {1 << k} ELSE 0 END AS bit{k}"
@@ -388,12 +424,16 @@ def q_dedup_simhash_hamming(spark, sf_dir,
     posexplode, one shuffle), exact verification on candidates — the
     same band/verify pattern as MinHash-LSH but with a DETERMINISTIC
     candidate guarantee (every true pair is caught, no probabilistic
-    recall). At 10^12 docs widen the fingerprint/bands (64/16-bit, the
-    paper's production point) — same plan shape."""
+    recall). Fingerprint bits come from the FULL 60-bit token hash (all
+    n_bits informative; r3 ADVICE). At 10^12 docs widen to n_bits=60
+    (4 x 15-bit bands, ~the paper's 64/16 production point — 60 is this
+    engine's hash width and also clears LongType's sign bit); the
+    widening is exercised by an n_bits=60 brute-force parity test and
+    keeps the identical plan shape."""
     assert n_bits % (max_hamming + 1) == 0
     d = t(spark, sf_dir, "documents")
     members, rep_docs = _dedup_groups(d)
-    sim = _simhash_of(rep_docs, n_bits)
+    sim = _simhash_of(rep_docs, n_bits, full_hash=True)
     n_bands = max_hamming + 1
     band_w = n_bits // n_bands
     band_mask = (1 << band_w) - 1
@@ -440,7 +480,10 @@ def q_dedup_simhash_hamming(spark, sf_dir,
         .filter(F.col("hamming") <= max_hamming))
 
     # reassociate to group members (pairs carry hamming, not jaccard):
-    # eligibility = the rep HAS a fingerprint (>= 1 non-empty token)
+    # eligibility = the rep HAS a fingerprint (>= 1 non-empty token).
+    # Dup-free corpus: reps are the docs, rep_pairs is the answer.
+    if members is None:
+        return rep_pairs.orderBy("doc_a", "doc_b")
     emembers = (members.filter(F.col("grp_n") > 1)
                 .join(sim.select(F.col("doc_id").alias("rep_id")),
                       "rep_id"))
@@ -466,7 +509,7 @@ def make_simhash_hamming_sql(
     fingerprinted docs, popcount of xor, threshold) — band candidate
     generation is exhaustive by the pigeonhole guarantee, so the outputs
     are identical."""
-    bits, total = _simhash_sql(n_bits)
+    bits, total = _simhash_sql(n_bits, full_hash=True)
     return f"""
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok

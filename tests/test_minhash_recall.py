@@ -103,41 +103,77 @@ def test_cluster_transitivity_chain(spark, tmp_path):
     assert rows[3]["cluster_id"] == 3 and rows[3]["cluster_size"] == 1
 
 
-def test_simhash_hamming_exhaustive_vs_bruteforce(spark, corpus):
-    """The 4x8-bit band join must be EXHAUSTIVE for Hamming <= 3
-    (pigeonhole guarantee — unlike MinHash there is no probabilistic
-    recall): the full result must equal a driver-side brute force over
-    all pairs, distances included."""
+def _bruteforce_hamming_pairs(path: str, n_bits: int,
+                              max_hamming: int = 3) -> dict:
+    """Driver-side ground truth: full-hash SimHash fingerprints (no
+    % MOD reduction — every bit informative) and all-pairs popcount."""
     import hashlib
     import pyarrow.parquet as pq
-    from pdf_ocr_spark.relational.dedup import q_dedup_simhash_hamming
 
-    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
-           for r in q_dedup_simhash_hamming(spark, corpus["dir"])
-           .collect()}
-
-    tbl = pq.read_table(corpus["dir"] + "/documents.parquet")
-    MOD = 1_000_000_007
+    tbl = pq.read_table(path + "/documents.parquet")
     sims = {}
     for doc_id, text in zip(tbl["doc_id"].to_pylist(),
                             tbl["text"].to_pylist()):
         toks = {t for t in text.split(" ") if t}
         if not toks:
             continue
-        votes = [0] * 32
+        votes = [0] * n_bits
         for tok in toks:
-            h2 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % MOD
-            for k in range(32):
+            h2 = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for k in range(n_bits):
                 votes[k] += 1 if (h2 >> k) & 1 else -1
-        sims[doc_id] = sum((1 << k) for k in range(32) if votes[k] >= 0)
+        sims[doc_id] = sum((1 << k) for k in range(n_bits)
+                           if votes[k] >= 0)
     ids = sorted(sims)
     want = {}
     for i, a in enumerate(ids):
         for b in ids[i + 1:]:
             h = bin(sims[a] ^ sims[b]).count("1")
-            if h <= 3:
+            if h <= max_hamming:
                 want[(a, b)] = h
-    assert got == want
+    return want
+
+
+def test_simhash_hamming_exhaustive_vs_bruteforce(spark, corpus):
+    """The 4x8-bit band join must be EXHAUSTIVE for Hamming <= 3
+    (pigeonhole guarantee — unlike MinHash there is no probabilistic
+    recall): the full result must equal a driver-side brute force over
+    all pairs, distances included."""
+    from pdf_ocr_spark.relational.dedup import q_dedup_simhash_hamming
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in q_dedup_simhash_hamming(spark, corpus["dir"])
+           .collect()}
+    assert got == _bruteforce_hamming_pairs(corpus["dir"], 32)
+
+
+def test_simhash_hamming_60bit_production_widening(spark, corpus):
+    """The documented production widening (n_bits=60, 4 x 15-bit bands
+    ~ Manku's 64/16 point) must actually run — no LongType sign-bit
+    overflow — and stay exhaustive vs brute force (VERDICT r3 #2)."""
+    from pdf_ocr_spark.relational.dedup import q_dedup_simhash_hamming
+
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in q_dedup_simhash_hamming(spark, corpus["dir"],
+                                            n_bits=60).collect()}
+    assert got == _bruteforce_hamming_pairs(corpus["dir"], 60)
+
+
+def test_simhash_hamming_high_bits_informative(spark, corpus):
+    """ADVICE r3: fingerprints must use the full hash — bits 30+ must
+    not be identically zero across the corpus (with the old % MOD
+    reduction they were, making band 3 effectively 6-bit)."""
+    import pyarrow.parquet as pq
+    from pdf_ocr_spark.relational.dedup import _simhash_of
+
+    docs = spark.read.parquet(corpus["dir"] + "/documents.parquet")
+    sims = [r["simhash"] for r in
+            _simhash_of(docs, 32, full_hash=True).collect()]
+    assert any(s >> 30 for s in sims)
+    with pytest.raises(AssertionError):
+        _simhash_of(docs, 61, full_hash=True)
+    with pytest.raises(AssertionError):
+        _simhash_of(docs, 31)
 
 
 def test_simhash_hamming_band_bucket_cap(spark, tmp_path):
