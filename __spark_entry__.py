@@ -93,6 +93,64 @@ def _extract_transcripts_query(spark: SparkSession,
     )
 
 
+_EXTRACTED_CACHE: dict[str, DataFrame] = {}
+
+
+def _extracted_frame(spark: SparkSession) -> DataFrame:
+    """Extraction-pipeline output over the pipeline-tier fixture (pooled
+    payloads -> genuine duplicate extracted texts), localCheckpointed and
+    cached per process so the three composed dedup queries pay for
+    extraction once."""
+    _ship(spark)
+    from pyspark.sql import functions as F
+
+    from pdf_ocr_spark.config import DEFAULT
+    from pdf_ocr_spark.pipeline import OUTPUT_SCHEMA, _make_extract_udf, \
+        with_bucket
+
+    path = _fixture_path("pipeline")
+    key = f"{id(spark)}:{path}"
+    if key not in _EXTRACTED_CACHE:
+        df = spark.read.parquet(path).select("conv_id", "turn_idx", "text")
+        df = with_bucket(df, DEFAULT.num_buckets,
+                         DEFAULT.salt_turns_per_group)
+        _EXTRACTED_CACHE[key] = (
+            df.repartition(16, F.col("bucket"))
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .mapInPandas(_make_extract_udf(DEFAULT), schema=OUTPUT_SCHEMA)
+            .select("conv_id", "turn_idx", "extracted_text")
+            .localCheckpoint(eager=True))
+    return _EXTRACTED_CACHE[key]
+
+
+def _dedup_extracted_exact_query(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Rows-only check (extraction inside is non-SQL-expressible):
+    exact duplicate groups over the pipeline's own extracted text —
+    the VERDICT r3 composition gap."""
+    from pdf_ocr_spark.dedup_extracted import dedup_extracted_exact
+
+    return dedup_extracted_exact(_extracted_frame(spark))
+
+
+def _dedup_extracted_neardup_query(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Rows-only check: MinHash/LSH near-dup turn pairs over extracted
+    text, reassociated to (conv, turn) identities."""
+    from pdf_ocr_spark.dedup_extracted import dedup_extracted_neardup
+
+    return dedup_extracted_neardup(_extracted_frame(spark))
+
+
+def _dedup_extracted_clusters_query(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Rows-only check: keep-one-per-cluster labels (connected
+    components over near-dup pairs) on the pipeline's extracted turns."""
+    from pdf_ocr_spark.dedup_extracted import dedup_extracted_clusters
+
+    return dedup_extracted_clusters(_extracted_frame(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     training-data ops). See pdf_ocr_spark/relational/* for each query's
@@ -101,12 +159,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out = dict(all_queries())
     out["extract_transcripts"] = _extract_transcripts_query
+    out["dedup_extracted_exact"] = _dedup_extracted_exact_query
+    out["dedup_extracted_neardup"] = _dedup_extracted_neardup_query
+    out["dedup_extracted_clusters"] = _dedup_extracted_clusters_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (extract_transcripts is omitted: the
-    raster/OCR path is not SQL-expressible — driver rows-only check)."""
+    """DuckDB oracle SQL per query (extract_transcripts and the three
+    dedup_extracted_* compositions are omitted: the raster/OCR path
+    inside them is not SQL-expressible — driver rows-only checks; their
+    dedup math is oracle-gated separately via the dedup_* entries and
+    pinned by tests/test_dedup_extracted.py equality tests)."""
     from pdf_ocr_spark.relational import all_oracle_sql
 
     return dict(all_oracle_sql())

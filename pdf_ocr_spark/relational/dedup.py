@@ -183,7 +183,17 @@ def q_dedup_minhash(spark, sf_dir,
     come from ONE equi-join on that pair (shuffles only signature rows,
     never documents — and one join regardless of band count); Jaccard
     verify joins shingle sets for candidate pairs only."""
-    d = t(spark, sf_dir, "documents")
+    return minhash_pairs(t(spark, sf_dir, "documents"),
+                         n_hashes, n_bands, max_band_bucket) \
+        .orderBy("doc_a", "doc_b")
+
+
+def minhash_pairs(d, n_hashes: int = MINHASH_N_HASHES,
+                  n_bands: int = MINHASH_N_BANDS,
+                  max_band_bucket: int | None = None):
+    """q_dedup_minhash's core over an arbitrary ``(doc_id, text)`` frame
+    (unordered pairs) — reused by dedup_extracted over the extraction
+    pipeline's own output."""
     members, rep_docs = _dedup_groups(d)
     # the shingle frame feeds banding, both verify sides, and the size
     # counts — localCheckpoint materializes it once instead of re-running
@@ -191,8 +201,7 @@ def q_dedup_minhash(spark, sf_dir,
     sh = _shingles_of(rep_docs).localCheckpoint(eager=True)
     cand = minhash_band_candidates(sh, n_hashes, n_bands, max_band_bucket)
     rep_pairs = _verify_jaccard(cand, sh)
-    return _reassociate(rep_pairs, members, rep_docs) \
-        .orderBy("doc_a", "doc_b")
+    return _reassociate(rep_pairs, members, rep_docs)
 
 
 def _dedup_groups(d):
@@ -653,15 +662,23 @@ def q_dedup_clusters(spark, sf_dir, jaccard_threshold=_CLUSTER_JACCARD,
     — min-label propagation, deterministic fixpoint) assign every
     document the MINIMUM doc_id reachable in its component — the
     canonical survivor in keep-one-per-cluster dedup."""
-    pairs = q_dedup_minhash(spark, sf_dir) \
+    return minhash_clusters(t(spark, sf_dir, "documents"),
+                            jaccard_threshold, max_iters)
+
+
+def minhash_clusters(d, jaccard_threshold=_CLUSTER_JACCARD,
+                     max_iters: int = 20):
+    """q_dedup_clusters' core over an arbitrary ``(doc_id, text)`` frame
+    (doc_id must be numeric — connected_components' convergence probe
+    sums labels). Reused by dedup_extracted."""
+    pairs = minhash_pairs(d) \
         .filter(F.col("jaccard") >= jaccard_threshold) \
         .select("doc_a", "doc_b")
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst"))))
-    return connected_components(
-        t(spark, sf_dir, "documents"), edges, "doc_id", max_iters)
+    return connected_components(d, edges, "doc_id", max_iters)
 
 
 def make_cluster_sql(jaccard_threshold=_CLUSTER_JACCARD,

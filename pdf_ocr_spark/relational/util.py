@@ -101,10 +101,19 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     Returns (id_col, cluster_id, cluster_size, is_canonical)."""
     from pyspark.sql.window import Window
 
+    # the convergence probe sums labels exactly: decimal(38,0), not
+    # long — ids may span the full 64-bit range (dedup_extracted keys
+    # turns by xxhash64), and 10^12 such labels sum to ~1e31, far past
+    # LongType but comfortably inside decimal(38,0)
+    def _label_sum(lb):
+        return lb.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     edges = edges.localCheckpoint(eager=True)
     labels = (nodes.select(id_col, F.col(id_col).alias("cluster_id"))
               .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+    prev_sum = _label_sum(labels)
     converged = False
     # max_iters + 1 rounds: convergence is only observable one round
     # late (a round that produces no change), so a graph reaching the
@@ -128,7 +137,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                           F.least("cluster_id", "p_label")
                           .alias("cluster_id"))
                   .localCheckpoint(eager=True))
-        cur_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             converged = True
             break

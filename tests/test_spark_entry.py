@@ -16,8 +16,10 @@ def test_queries_and_oracles_align(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # the only non-SQL-expressible query is the raster/OCR pipeline
-    assert set(qs) - set(oracles) == {"extract_transcripts"}
+    # the only non-SQL-expressible queries embed the raster/OCR pipeline
+    assert set(qs) - set(oracles) == {
+        "extract_transcripts", "dedup_extracted_exact",
+        "dedup_extracted_neardup", "dedup_extracted_clusters"}
     assert len(qs) >= 25
 
 
