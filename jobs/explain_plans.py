@@ -21,6 +21,9 @@ CHECKS = {
     "mean_of_means": ["BroadcastHashJoin"],
     "ann_cosine_topk": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
     "dedup_minhash_lsh": [],
+    "dedup_simhash_hamming": ["band_idx", "bit_count"],
+    "dedup_ngram_jaccard": [],
+    "dedup_extracted_neardup": ["xxhash64"],
     "reading_order": ["WindowGroupLimit"],  # rank pushed into group limit
 }
 
@@ -95,13 +98,47 @@ def main() -> None:
             "equi-join on that pair regardless of band count (shuffle "
             "carries signatures, not documents); Jaccard verify joins "
             "shingles for candidate pairs only.",
+        "dedup_simhash_hamming":
+            "Manku-style pigeonhole: fingerprints from the FULL 60-bit "
+            "token hash (every bit informative — r3 ADVICE), 4 bands "
+            "posexplode to (band_idx, band_bits), candidates from ONE "
+            "equi-join on that pair, popcount-xor verify on candidates "
+            "only. No cartesian anywhere (locked in test_plans.py).",
+        "dedup_ngram_jaccard":
+            "Inverted-index self-join: df-stopworded posting lists "
+            "(maxdf cap bounds the m^2 blowup per shared shingle), "
+            "exact Jaccard on candidates from the single posting "
+            "equi-join; sizes come from the uncapped shingle frame so "
+            "the score is true Jaccard.",
         "reading_order":
             "Single hash-partition exchange on user_id feeding the rank "
             "window; filter on rn applied before projection.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
-                 "dedup_minhash_lsh", "reading_order"):
+                 "dedup_minhash_lsh", "dedup_simhash_hamming",
+                 "dedup_ngram_jaccard", "reading_order"):
         capture(name, reg[name](spark, sf_dir), notes[name])
+
+    # composed path: dedup over an extraction run's OUTPUT TABLE — the
+    # exact shape jobs/dedup_extracted.py executes in production (read
+    # extracted parquet/Iceberg -> surrogate key -> LSH -> join back)
+    import tempfile
+    from pdf_ocr_spark.pipeline import run_extraction
+    from pdf_ocr_spark.dedup_extracted import dedup_extracted_neardup
+    xd = tempfile.mkdtemp(prefix="plans_extract_")
+    run_extraction(spark, fixture, os.path.join(xd, "out"),
+                   os.path.join(xd, "lin"), run_id="plans",
+                   input_snapshot_id="plans", num_buckets=8,
+                   resume=False)
+    extracted = spark.read.parquet(os.path.join(xd, "out"))
+    capture(
+        "dedup_extracted_neardup", dedup_extracted_neardup(extracted),
+        "Dedup composed with the pipeline's own output: turns keyed by "
+        "xxhash64(conv_id, turn_idx) JVM-side, extraction-output scan "
+        "pruned to (conv_id, turn_idx, extracted_text), the library's "
+        "band equi-join + verify untouched, and the (conv, turn) "
+        "identity joined back as plain hash joins (pair side is small "
+        "-> AQE broadcasts).")
 
     out = os.path.join(repo, "PLANS.md")
     with open(out, "w") as f:

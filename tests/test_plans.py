@@ -86,6 +86,36 @@ def test_ngram_jaccard_plan_locks(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_hamming_plan_locks(spark):
+    """The pigeonhole band join must stay equi-join shaped (VERDICT r3:
+    ngram had a lock, hamming did not): candidates from an equi-join on
+    (band_idx, band_bits), no cartesian/nested-loop anywhere, popcount
+    verify on candidates only."""
+    from pdf_ocr_spark.relational.dedup import q_dedup_simhash_hamming
+    plan = _plan(q_dedup_simhash_hamming(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_bits" in plan
+    assert "bit_count" in plan  # verify stage present
+
+
+def test_dedup_extracted_neardup_plan_locks(spark):
+    """The composed dedup-over-extraction-output path inherits the
+    library's scale shape: no cartesian, LSH band equi-join, and the
+    (conv, turn) identity join-back stays a hash/equi join."""
+    from pdf_ocr_spark.dedup_extracted import dedup_extracted_neardup
+    ext = spark.createDataFrame(
+        [("c1", 0, "alpha beta gamma delta epsilon zeta"),
+         ("c2", 0, "alpha beta gamma delta epsilon zeta"),
+         ("c3", 0, "unrelated words entirely different from those")],
+        "conv_id string, turn_idx int, extracted_text string")
+    plan = _plan(dedup_extracted_neardup(ext))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_idx" in plan and "band_key" in plan
+    assert "xxhash64" in plan  # surrogate key computed JVM-side
+
+
 def test_assemble_conversations(spark):
     from pdf_ocr_spark.export import assemble_conversations
     df = spark.createDataFrame(
