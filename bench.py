@@ -26,6 +26,9 @@ import time
 HEADLINE_QUERIES = [
     "pdf_type_classify", "detect_sampling", "page_assembly",
     "mean_of_means", "reading_order", "dedup_minhash_lsh", "dedup_simhash",
+    # r4 (VERDICT r3 #5): the newest, joiniest dedup ops tracked so
+    # regressions are visible round-over-round
+    "dedup_ngram_jaccard", "dedup_simhash_hamming", "dedup_clusters",
     "ann_cosine_topk", "knn_label_vote", "token_count", "quality_score",
     "doc_fingerprint",
 ]

@@ -44,6 +44,11 @@ class EngineConfig:
     paragraph_line_spacing_threshold: float = 1.5
     remove_header_footer: bool = True
     header_footer_repeat_threshold: int = 3
+    # ENGINE ADDITION (no reference analog — postprocess.py sorts purely
+    # by (y, x)): column-major reading order for multi-column scans via
+    # whitespace-projection column detection (layout.detect_columns).
+    # Default off so byte-equality with the reference is untouched.
+    column_aware: bool = False
 
     # --- PDF reader backend (minipdf.adapters.open_pdf) ---
     # None -> SPARK_GRAFT_PDF_BACKEND env var -> "mini". "pymupdf" /

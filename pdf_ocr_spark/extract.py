@@ -161,7 +161,8 @@ def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
         page = layout.process_page(
             texts, boxes, confs, page_num=page_num,
             img_width=res.img_width, img_height=res.img_height,
-            spacing_threshold=cfg.paragraph_line_spacing_threshold)
+            spacing_threshold=cfg.paragraph_line_spacing_threshold,
+            column_aware=cfg.column_aware)
         processed.append(page)
         rows.append({"page": page_num, "text": page.text,
                      "confidence": res.avg_confidence,

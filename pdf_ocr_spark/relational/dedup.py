@@ -667,10 +667,13 @@ def q_dedup_clusters(spark, sf_dir, jaccard_threshold=_CLUSTER_JACCARD,
 
 
 def minhash_clusters(d, jaccard_threshold=_CLUSTER_JACCARD,
-                     max_iters: int = 20):
+                     max_iters: int = 20, cc_algorithm: str = "pointer"):
     """q_dedup_clusters' core over an arbitrary ``(doc_id, text)`` frame
     (doc_id must be numeric — connected_components' convergence probe
-    sums labels). Reused by dedup_extracted."""
+    sums labels). Reused by dedup_extracted. ``cc_algorithm="star"``
+    selects the large-star/small-star contraction for adversarial
+    high-degree/high-diameter similarity graphs (util._cc_two_phase);
+    same min-label fixpoint either way."""
     pairs = minhash_pairs(d) \
         .filter(F.col("jaccard") >= jaccard_threshold) \
         .select("doc_a", "doc_b")
@@ -678,7 +681,20 @@ def minhash_clusters(d, jaccard_threshold=_CLUSTER_JACCARD,
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
                                  F.col("doc_a").alias("dst"))))
-    return connected_components(d, edges, "doc_id", max_iters)
+    return connected_components(d, edges, "doc_id", max_iters,
+                                algorithm=cc_algorithm)
+
+
+def q_dedup_clusters_star(spark, sf_dir,
+                          jaccard_threshold=_CLUSTER_JACCARD,
+                          max_iters: int = 20):
+    """dedup_clusters through the large-star/small-star CC variant
+    (util._cc_two_phase, VERDICT r3 #7) — identical min-label fixpoint,
+    so it shares dedup_clusters' recursive-CTE oracle verbatim: the
+    correctness gate proves algorithm equivalence, not just shape."""
+    return minhash_clusters(t(spark, sf_dir, "documents"),
+                            jaccard_threshold, max_iters,
+                            cc_algorithm="star")
 
 
 def make_cluster_sql(jaccard_threshold=_CLUSTER_JACCARD,
@@ -734,4 +750,5 @@ QUERIES = {
     "dedup_simhash_hamming": (q_dedup_simhash_hamming,
                               SQL_DEDUP_SIMHASH_HAMMING),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
 }

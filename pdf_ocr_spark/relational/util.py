@@ -70,11 +70,20 @@ def _lcg_ints(seed: int, n: int, lo: int, hi: int) -> list:
 
 
 def connected_components(nodes: DataFrame, edges: DataFrame,
-                         id_col: str, max_iters: int = 20) -> DataFrame:
+                         id_col: str, max_iters: int = 20,
+                         algorithm: str = "pointer") -> DataFrame:
     """Connected components by min-label propagation + pointer jumping:
     every node ends up labeled with the MINIMUM id reachable in its
     component (deterministic fixpoint, independent of iteration order).
     ``edges`` must be symmetric (src, dst both directions).
+
+    ``algorithm="star"`` switches to the alternating large-star /
+    small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), which contracts high-degree AND
+    high-diameter graphs in O(log^2 n) rounds while keeping every
+    per-round reducer input bounded by the star neighborhood — the
+    escape hatch for adversarial graphs where the label frame itself
+    is the bottleneck. Same min-label fixpoint, same return schema.
 
     Each round does (1) neighbor-min propagation over the edge set and
     (2) a pointer jump — label(v) := min(label(v), label(label(v))) —
@@ -99,7 +108,11 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     operator.
 
     Returns (id_col, cluster_id, cluster_size, is_canonical)."""
-    from pyspark.sql.window import Window
+    if algorithm == "star":
+        labels = _cc_two_phase(nodes, edges, id_col, max_iters)
+        return _cc_finalize(labels, id_col)
+    if algorithm != "pointer":
+        raise ValueError(f"unknown CC algorithm: {algorithm!r}")
 
     # the convergence probe sums labels exactly: decimal(38,0), not
     # long — ids may span the full 64-bit range (dedup_extracted keys
@@ -148,6 +161,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
             f" raise max_iters (rounds scale with log(component diameter) "
             f"via pointer jumping, so this indicates a pathological graph)")
 
+    return _cc_finalize(labels, id_col)
+
+
+def _cc_finalize(labels: DataFrame, id_col: str) -> DataFrame:
+    """Shared output contract: (id, cluster_id, cluster_size,
+    is_canonical), ordered by id."""
+    from pyspark.sql.window import Window
     w = Window.partitionBy("cluster_id")
     return (labels
             .withColumn("cluster_size", F.count("*").over(w))
@@ -155,6 +175,89 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                         F.col(id_col) == F.col("cluster_id"))
             .select(id_col, "cluster_id", "cluster_size", "is_canonical")
             .orderBy(id_col))
+
+
+def _cc_two_phase(nodes: DataFrame, edges: DataFrame,
+                  id_col: str, max_iters: int) -> DataFrame:
+    """Large-star/small-star edge contraction (Kiveris et al. 2014,
+    Algorithms 3+4). The state is the EDGE set, not a label frame:
+
+      large-star(u): m = min(N(u) + {u}); emit (x, m) for x in N(u),
+                     x > u   — strictly-larger neighbors hook onto the
+                     neighborhood minimum (keeps every emitted edge
+                     oriented hi->lo and provably acyclic),
+      small-star(u): over edges oriented (u > v): m = min(N-(u) + {u});
+                     emit (x, m) for x in N-(u) + {u}, x != m.
+
+    Alternating the two reaches a fixpoint where the edge set is a
+    disjoint union of stars whose centers are the component minima —
+    the same fixpoint as min-label propagation, so the DuckDB
+    recursive-CTE oracles remain bit-identical. Rounds are
+    O(log^2 n) worst-case, O(log n) in practice, and — unlike label
+    propagation — a high-degree hub never funnels its whole component
+    through one groupBy key round after round: stars contract.
+
+    Convergence probe: (edge count, decimal sums of both endpoints) —
+    small-star is monotone in the hooked minima, so a repeated probe
+    value means a repeated edge set. Raises like the pointer variant
+    on budget exhaustion.
+
+    Returns the label frame (id_col, cluster_id) for _cc_finalize."""
+    # orient each undirected edge once as (u=hi, v=lo); drop self loops
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    def _probe(df):
+        r = df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.col("u").cast("decimal(38,0)")),
+            F.sum(F.col("v").cast("decimal(38,0)"))).collect()[0]
+        return (r[0], r[1], r[2])
+
+    prev = _probe(e)
+    converged = prev[0] == 0  # edgeless graph: all-singleton fixpoint
+    for _ in range(max_iters + 1):
+        if converged:
+            break
+        # large-star over the symmetric neighborhood view
+        sym = e.union(e.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m"))
+        e = (sym.join(mins, "u")
+             .filter(F.col("v") > F.col("u"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .distinct())
+        # small-star over the hi->lo orientation (all v < u already)
+        mins2 = e.groupBy("u").agg(F.min("v").alias("m"))
+        e = (e.join(mins2, "u").select(F.col("v").alias("x"), "m")
+             .union(mins2.select(F.col("u").alias("x"), "m"))
+             .filter(F.col("x") != F.col("m"))
+             .select(F.greatest("x", "m").alias("u"),
+                     F.least("x", "m").alias("v"))
+             .distinct()
+             .localCheckpoint(eager=True))
+        cur = _probe(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iters} rounds; raise max_iters")
+
+    # fixpoint edge set is a star forest: u -> component minimum.
+    # min() guards the (convergence-probe-equal but multi-parent)
+    # theoretical corner; at a true fixpoint each u has exactly one v.
+    centers = e.groupBy("u").agg(F.min("v").alias("cid"))
+    return (nodes.select(id_col)
+            .join(centers.withColumnRenamed("u", id_col), id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("cid", F.col(id_col)).alias("cluster_id")))
 
 
 # MinHash: H independent hashes h_j(s) = (a_j * (hash60(s) % MOD) + b_j) % MOD

@@ -80,3 +80,44 @@ def test_payload_cache_is_config_keyed():
                       EngineConfig(pdf_text_threshold=10 ** 6))
     assert a["method"][0] == "extract"
     assert b["method"][0] == "ocr"
+
+
+def test_column_aware_config_reaches_ocr_layout_end_to_end():
+    """VERDICT r3 #8: EngineConfig.column_aware must reach process_page
+    through _extract_pdf_doc_inner. A scanned two-column page read with
+    the default config interleaves rows (the reference's exact (y, x)
+    order); column_aware=True reads the left column top-to-bottom first.
+    Default path stays byte-identical to the flag-off result."""
+    import base64
+
+    from pdf_ocr_spark.config import DEFAULT, EngineConfig
+    from pdf_ocr_spark.extract import extract_batch
+    from pdf_ocr_spark.minipdf.writer import ImagePage, ScanLine, build_pdf
+
+    left = ["data", "spark", "table"]
+    right = ["query", "batch", "merge"]
+    lines = [ScanLine(x=20, y=40 + 70 * i, size=12, text=w)
+             for i, w in enumerate(left)]
+    lines += [ScanLine(x=170, y=43 + 70 * i, size=12, text=w)
+              for i, w in enumerate(right)]
+    payload = base64.b64encode(
+        build_pdf([ImagePage(lines=lines)])).decode()
+
+    off = extract_batch(pd.Series([payload]))
+    assert off["method"][0] == "ocr" and not off["error"][0]
+    off_text = off["extracted_text"][0]
+    on = extract_batch(pd.Series([payload]),
+                       EngineConfig(column_aware=True))
+    assert on["method"][0] == "ocr" and not on["error"][0]
+    on_text = on["extracted_text"][0]
+
+    for w in left + right:
+        assert w in off_text and w in on_text
+    # default: row-interleaved — query (row 1 right) before spark (row 2
+    # left); column-aware: whole left column before the right column
+    assert off_text.index("query") < off_text.index("spark")
+    assert on_text.index("table") < on_text.index("query")
+    # explicit default config == flag-off (byte-equality path untouched)
+    assert DEFAULT.column_aware is False
+    assert extract_batch(pd.Series([payload]),
+                         DEFAULT)["extracted_text"][0] == off_text
