@@ -488,3 +488,48 @@ def test_low_similarity_pairs_filtered_structurally(spark, corpus):
     leaked = [p for p in low if p in got]
     # expected leak rate at J=0.2: 1-(1-0.0016)^16 ~ 2.5%
     assert len(leaked) <= max(5, 0.1 * len(low))
+
+
+def test_ngram_jaccard_counts_shared_stopworded_shingles(spark,
+                                                         tmp_path):
+    """r4 count-filter verify: true Jaccard = shared-rare +
+    shared-NONRARE shingles. Docs 0/1 share the stopworded phrase
+    'the quick brown fox' (df > maxdf) plus rare content; counting
+    only rare shared shingles would give 3/9 = 0.333 < 0.5 and drop
+    the pair — the non-rare re-join must restore the exact 5/7 and
+    keep it. Cross-checked against a driver-side brute-force Jaccard
+    over full shingle sets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_ocr_spark.relational.dedup import q_dedup_ngram_jaccard
+
+    docs = [
+        "the quick brown fox alpha beta gamma delta",
+        "the quick brown fox alpha beta gamma epsilon",
+    ]
+    for i in range(6):
+        docs.append(f"the quick brown fox junk{i} filler{i} pad{i}")
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    def sh(text):
+        w = text.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            A, B = sh(docs[a]), sh(docs[b])
+            j = len(A & B) / len(A | B)
+            import math
+            j6 = math.floor(j * 1000000.0 + 0.5) / 1000000.0
+            if j6 >= 0.5 and A & B:
+                want[(a, b)] = j6
+    assert want == {(0, 1): math.floor(5 / 7 * 1e6 + 0.5) / 1e6}
+
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in q_dedup_ngram_jaccard(
+               spark, str(tmp_path), maxdf=2).collect()}
+    assert got == want
