@@ -151,6 +151,10 @@ def main() -> None:
         "metric": "headline wall time (extraction + relational suite)",
         "value": total,
         "unit": "sec",
+        # r4: the headline set grew by three dedup ops (VERDICT r3 #5),
+        # so the total is NOT comparable to BENCH_r03 and earlier;
+        # the suite list makes the artifact self-describing
+        "suite": ["extract_transcripts"] + names,
         "queries": timings,
         "sf": sf,
         "extraction": {
