@@ -485,8 +485,11 @@ def q_dedup_simhash_hamming(spark, sf_dir,
         .select("doc_a", "doc_b",
                 F.expr("bit_count(sim_a ^ sim_b)").cast("int")
                 .alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming))
+        # verify BEFORE the dedup shuffle: popcount is free in the join
+        # stage, and on a sparse (production) corpus it kills nearly all
+        # band collisions so the distinct shuffles survivors only (r4)
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct())
 
     # reassociate to group members (pairs carry hamming, not jaccard):
     # eligibility = the rep HAS a fingerprint (>= 1 non-empty token).

@@ -124,8 +124,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         ).collect()[0][0]
 
     edges = edges.localCheckpoint(eager=True)
+    # label-frame checkpoints are LAZY: the convergence probe's own agg
+    # materializes them, so each round costs one job, not two (r4)
     labels = (nodes.select(id_col, F.col(id_col).alias("cluster_id"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     prev_sum = _label_sum(labels)
     converged = False
     # max_iters + 1 rounds: convergence is only observable one round
@@ -149,7 +151,7 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
                   .select(id_col,
                           F.least("cluster_id", "p_label")
                           .alias("cluster_id"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             converged = True
@@ -208,7 +210,7 @@ def _cc_two_phase(nodes: DataFrame, edges: DataFrame,
                       F.least("src", "dst").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct()
-         .localCheckpoint(eager=True))
+         .localCheckpoint(eager=False))
 
     def _probe(df):
         r = df.agg(
@@ -239,7 +241,7 @@ def _cc_two_phase(nodes: DataFrame, edges: DataFrame,
              .select(F.greatest("x", "m").alias("u"),
                      F.least("x", "m").alias("v"))
              .distinct()
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
         cur = _probe(e)
         if cur == prev:
             converged = True
