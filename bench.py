@@ -147,6 +147,12 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(timings.values()), 3)
+    # like-for-like subtotal over the r3-era suite (headline grew by
+    # three dedup ops in r4, so `value` is not comparable to BENCH_r03)
+    r4_added = {"dedup_ngram_jaccard", "dedup_simhash_hamming",
+                "dedup_clusters"}
+    comparable = round(sum(v for k, v in timings.items()
+                           if k not in r4_added), 3)
     print(json.dumps({
         "metric": "headline wall time (extraction + relational suite)",
         "value": total,
@@ -155,6 +161,7 @@ def main() -> None:
         # so the total is NOT comparable to BENCH_r03 and earlier;
         # the suite list makes the artifact self-describing
         "suite": ["extract_transcripts"] + names,
+        "value_r3_comparable_suite": comparable,
         "queries": timings,
         "sf": sf,
         "extraction": {
