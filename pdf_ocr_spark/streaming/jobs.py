@@ -125,3 +125,30 @@ def stream_method_counts(
             .agg(F.count("*").alias("n_turns"))
             .select(F.col("window.start").alias("window_start"),
                     "kind", "n_turns"))
+
+
+def stream_dedup_exact(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first-seen turn per distinct
+    payload within the watermark horizon.
+
+    The streaming analog of the batch exact-dedup pre-pass (and of the
+    reference's content-hash dedup intent, SmartPDF-OCR
+    app/core/file_manager.py:137-143): rows are keyed by md5(text) and
+    ``dropDuplicatesWithinWatermark`` holds one state entry per distinct
+    key, EVICTING entries once they age past the watermark — so state
+    size is bounded by (arrival rate x horizon), not corpus size, which
+    is what makes exact dedup runnable on an unbounded 10^12-turn
+    stream. Duplicates arriving farther apart than the horizon are not
+    collapsed (the documented trade; widen the watermark or run the
+    batch op over the sink for full-history dedup).
+
+    Returns the streaming DataFrame; caller attaches a sink."""
+    src = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    return (src
+            .withColumn("th", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["th"]))

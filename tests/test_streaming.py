@@ -81,3 +81,57 @@ def test_stream_method_counts(spark, stream_dirs, tmp_path_factory):
     kinds = {r["kind"] for r in rows}
     assert {"pdf", "html", "plain"} <= kinds
     assert all(r["n_turns"] > 0 for r in rows)
+
+
+def test_stream_dedup_exact_collapses_cross_batch_duplicates(
+        spark, tmp_path_factory):
+    """Streaming exact dedup (watermark-bounded state): duplicates
+    arriving in DIFFERENT micro-batch files within the horizon collapse
+    to one surviving row per distinct payload; parity with the batch
+    distinct-md5 count over the same input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+    from pdf_ocr_spark.streaming import stream_dedup_exact
+
+    base = tmp_path_factory.mktemp("sdedup")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+
+    def write(name, rows):
+        pq.write_table(pa.table({
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "tool": pa.array([None] * len(rows), pa.string()),
+            "ts": pa.array([t0 + timedelta(minutes=r[3]) for r in rows],
+                           pa.timestamp("us")),
+        }), os.path.join(input_dir, name))
+
+    # same payloads recur across both files, minutes apart (inside the
+    # 1h horizon); 4 distinct texts total
+    write("part-0.parquet", [
+        ("c1", 0, "alpha body text", 0), ("c1", 1, "beta body text", 1),
+        ("c2", 0, "alpha body text", 2),
+    ])
+    write("part-1.parquet", [
+        ("c3", 0, "beta body text", 10), ("c3", 1, "gamma body text", 11),
+        ("c4", 0, "delta body text", 12), ("c4", 1, "alpha body text", 13),
+    ])
+
+    dd = stream_dedup_exact(spark, input_dir, watermark="1 hour")
+    q = (dd.writeStream.format("memory").queryName("sdedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sdedup").collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha body text", "beta body text",
+                     "delta body text", "gamma body text"]
+    # parity: batch distinct-md5 count over the same directory
+    batch = spark.read.parquet(input_dir)
+    assert len(rows) == batch.selectExpr("md5(text) th") \
+        .distinct().count()
