@@ -144,9 +144,106 @@ FROM grams GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_split_assign(spark, sf_dir, train_pct: int = 80, val_pct: int = 10):
+    """Deterministic train/val/test split assignment: portable
+    md5-derived bucket in [0, 100) per doc_id ("split:" salt), so the
+    assignment is stable across runs, engines, and cluster sizes — the
+    standard leakage-safe alternative to random splits (a doc never
+    migrates between train and eval when the corpus grows). Pure
+    map-side expression: no shuffle, scales linearly."""
+    d = t(spark, sf_dir, "documents")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long"),
+        F.lit(100))
+    split = (F.when(b < train_pct, "train")
+             .when(b < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return (d.select("doc_id", b.cast("int").alias("bucket"),
+                     split.alias("split"))
+            .orderBy("doc_id"))
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       ({hash60_sql("'split:' || doc_id::VARCHAR")} % 100)::INT AS bucket,
+       CASE WHEN {hash60_sql("'split:' || doc_id::VARCHAR")} % 100 < 80
+              THEN 'train'
+            WHEN {hash60_sql("'split:' || doc_id::VARCHAR")} % 100 < 90
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+PACK_N_SHARDS = 8
+PACK_BUDGET = 2048
+
+
+def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
+                  budget: int = PACK_BUDGET):
+    """Sequence packing for LLM pretraining (concat-and-chunk): docs are
+    hashed into ``n_shards`` independent shards, concatenated within the
+    shard in deterministic doc_id order, and chopped into fixed
+    ``budget``-token sequences; a doc is assigned the pack index of its
+    first token plus the number of sequences it spans.
+
+    Scale shape: the cumulative sum is a window PER SHARD — there is no
+    global sort/single-partition window; shard count scales with the
+    cluster and each shard packs independently (exactly how production
+    packers shard an unbounded corpus)."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(
+            F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    base = d.select("doc_id", shard.alias("shard"),
+                    toks.cast("long").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum("n_tokens").over(w)
+    first_tok = cum - F.col("n_tokens")
+    return (base
+            .withColumn("pack_first",
+                        F.floor(first_tok / budget).cast("long"))
+            .withColumn("n_packs",
+                        (F.floor((cum - 1) / budget)
+                         - F.floor(first_tok / budget) + 1).cast("long"))
+            .select("doc_id", "shard", "n_tokens", "pack_first", "n_packs")
+            .orderBy("doc_id"))
+
+
+SQL_CORPUS_PACK = rf"""
+WITH base AS (
+  SELECT doc_id,
+         ({hash60_sql("'pack:' || doc_id::VARCHAR")}
+            % {PACK_N_SHARDS})::INT AS shard,
+         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+       floor((cum - n_tokens) / {PACK_BUDGET})::BIGINT AS pack_first,
+       (floor((cum - 1) / {PACK_BUDGET})
+        - floor((cum - n_tokens) / {PACK_BUDGET}) + 1)::BIGINT AS n_packs
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
+    "corpus_pack": (q_corpus_pack, SQL_CORPUS_PACK),
 }
