@@ -25,6 +25,8 @@ CHECKS = {
     "dedup_ngram_jaccard": [],
     "dedup_extracted_neardup": ["xxhash64"],
     "reading_order": ["WindowGroupLimit"],  # rank pushed into group limit
+    # packing window must partition by shard, never a global window
+    "corpus_pack": ["hashpartitioning(shard"],
 }
 
 
@@ -106,17 +108,26 @@ def main() -> None:
             "only. No cartesian anywhere (locked in test_plans.py).",
         "dedup_ngram_jaccard":
             "Inverted-index self-join: df-stopworded posting lists "
-            "(maxdf cap bounds the m^2 blowup per shared shingle), "
-            "exact Jaccard on candidates from the single posting "
-            "equi-join; sizes come from the uncapped shingle frame so "
-            "the score is true Jaccard.",
+            "(maxdf cap bounds the m^2 blowup per shared shingle); the "
+            "candidate join's own groupBy counts shared rare shingles "
+            "and an EXACT Jaccard upper bound prunes candidates before "
+            "any verify join (r4 count-filtering, AllPairs/PPJoin "
+            "family) — only near-threshold pairs sharing stopworded "
+            "shingles pay the small non-rare posting join; the score "
+            "is true Jaccard (sizes from the uncapped shingle frame).",
         "reading_order":
             "Single hash-partition exchange on user_id feeding the rank "
             "window; filter on rn applied before projection.",
+        "corpus_pack":
+            "Sequence packing: the cumulative-token window partitions "
+            "by the hash SHARD (hashpartitioning(shard...)), never a "
+            "single-partition global window — shards pack independently "
+            "and scale with the cluster; the only global exchange is "
+            "the final output orderBy shared by every oracle query.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
-                 "dedup_ngram_jaccard", "reading_order"):
+                 "dedup_ngram_jaccard", "reading_order", "corpus_pack"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
