@@ -6,13 +6,13 @@ oracle with identical output column names, for the driver's side-by-side
 correctness gate.
 """
 
-from . import dedup, queries, similarity, textstats
+from . import curation, dedup, queries, similarity, textstats
 
 
 def all_queries() -> dict:
     """name -> (spark_fn(spark, sf_dir) -> DataFrame)."""
     out = {}
-    for mod in (queries, dedup, similarity, textstats):
+    for mod in (queries, dedup, similarity, textstats, curation):
         out.update({k: v[0] for k, v in mod.QUERIES.items()})
     return out
 
@@ -20,7 +20,7 @@ def all_queries() -> dict:
 def all_oracle_sql() -> dict:
     """name -> DuckDB SQL string (omitted for non-SQL-expressible ops)."""
     out = {}
-    for mod in (queries, dedup, similarity, textstats):
+    for mod in (queries, dedup, similarity, textstats, curation):
         out.update({k: v[1] for k, v in mod.QUERIES.items()
                     if v[1] is not None})
     return out

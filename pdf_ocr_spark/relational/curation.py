@@ -1,0 +1,276 @@
+"""Corpus-curation operators for training-data pipelines (documents/events).
+
+Four first-class curation ops a 100-TB pretraining pipeline runs between
+extraction and packing:
+
+- ``repetition_stats``  — Gopher-style within-document repetition metrics
+  (duplicate n-gram fractions; Rae et al. 2021 "Scaling Language Models",
+  Table A1 repetition filters). Pure map-side expressions: zero shuffles,
+  scales linearly with the scan.
+- ``contamination_check`` — benchmark-contamination scan: which training
+  docs share word 5-grams with a held-out eval split. The eval side is a
+  fixed-size gram set at any corpus scale, so the join is a broadcast —
+  the 100-TB shape is one scan + one map-side join + one aggregation.
+- ``pii_redact``        — email/phone scrubbing with exact counts. The
+  driver tables carry no PII, so the query PLANTS deterministic spans
+  (same expression in both engines) and proves the scrubber removes
+  exactly those — non-vacuous by construction.
+- ``json_props_agg``    — semi-structured extraction: parse the events
+  table's JSON ``props`` column and aggregate per event type (the
+  reference parses JSON task metadata the same way,
+  SmartPDF-OCR app/api/tasks.py history payloads).
+
+All queries are built-in-function only (no Python UDFs) with DuckDB oracle
+twins; column names match exactly for the driver's hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .util import round6, sql_round6, hash60, hash60_sql, t
+
+# Gopher's production thresholds (0.20 duplicate-2-gram / 0.18 3-gram char
+# fractions) are tuned for web text; this synthetic corpus is a small-vocab
+# word soup, so the flag thresholds are scaled to split it meaningfully
+# (measured at sf0.01: d2 median 0.028 / max 0.133, d3 nonzero in 5%).
+REP_2GRAM_THRESHOLD = 0.05
+REP_3GRAM_THRESHOLD = 0.02
+
+
+def _dup_frac_expr(n: int) -> str:
+    """1 - distinct/total word n-grams, as a Spark SQL expression over w."""
+    parts = ", ".join(f"element_at(w, g + {i})" for i in range(n))
+    grams = (f"transform(sequence(1, size(w) - {n - 1}), "
+             f"g -> concat_ws(' ', {parts}))")
+    return (f"1.0 - cast(size(array_distinct({grams})) as double) "
+            f"/ cast(size(w) - {n - 1} as double)")
+
+
+def _dup_frac_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"w[g + {i}]" for i in range(n))
+    grams = f"list_transform(range(1, len(w) - {n - 2}), g -> {parts})"
+    return (f"1.0 - len(list_distinct({grams}))::DOUBLE "
+            f"/ (len(w) - {n - 1})::DOUBLE")
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Within-document repetition metrics: duplicate word 2-gram and 3-gram
+    fractions plus a repetitive flag (Gopher repetition-filter family).
+
+    Scale shape: a single projection over the scan — no explode, no
+    shuffle; the n-gram arrays live only inside one row's expression."""
+    d = t(spark, sf_dir, "documents")
+    base = (d.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 6))
+    d2 = F.expr(_dup_frac_expr(2))
+    d3 = F.expr(_dup_frac_expr(3))
+    return (base.select(
+        "doc_id",
+        round6(d2).alias("dup_2gram_frac"),
+        round6(d3).alias("dup_3gram_frac"),
+        ((d2 > REP_2GRAM_THRESHOLD) | (d3 > REP_3GRAM_THRESHOLD))
+        .alias("repetitive"))
+        .orderBy("doc_id"))
+
+
+SQL_REPETITION_STATS = f"""
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= 6
+), m AS (
+  SELECT doc_id, {_dup_frac_sql(2)} AS d2, {_dup_frac_sql(3)} AS d3 FROM b
+)
+SELECT doc_id,
+       {sql_round6('d2')} AS dup_2gram_frac,
+       {sql_round6('d3')} AS dup_3gram_frac,
+       (d2 > {REP_2GRAM_THRESHOLD} OR d3 > {REP_3GRAM_THRESHOLD})
+         AS repetitive
+FROM m ORDER BY doc_id
+"""
+
+
+CONTAM_EVAL_PCT = 20  # eval split share; split buckets shared with
+#                       q_split_assign ("split:" md5 salt, stable)
+_GRAM5_EXPR = (
+    "transform(sequence(1, size(w) - 4), g -> concat_ws(' ', "
+    "element_at(w, g), element_at(w, g + 1), element_at(w, g + 2), "
+    "element_at(w, g + 3), element_at(w, g + 4)))"
+)
+_GRAM5_SQL = (
+    "list_transform(range(1, greatest(len(w) - 3, 1)), "
+    "g -> w[g] || ' ' || w[g+1] || ' ' || w[g+2] || ' ' || w[g+3] "
+    "|| ' ' || w[g+4])"
+)
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan: training docs (split bucket <
+    100-CONTAM_EVAL_PCT, same deterministic md5 buckets as split_assign)
+    that share a word 5-gram with any eval-split doc, with contaminated
+    gram counts and fraction.
+
+    Scale shape: the eval gram set is bounded by the benchmark size — a
+    few MB even for large eval suites — so it is ``F.broadcast`` joined;
+    the training side is one distinct-shuffle plus one aggregation.
+    Grams compare by the portable 60-bit md5 hash (identical in the
+    oracle), so the broadcast ships longs, not strings."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.pmod(hash60_concat_split("doc_id"), F.lit(100))
+    grams = (d.select("doc_id", bucket.alias("b"),
+                      F.split("text", " ").alias("w"))
+             .filter(F.size("w") >= 5)
+             .select("doc_id", "b",
+                     F.explode(F.expr(_GRAM5_EXPR)).alias("s"))
+             .select("doc_id", "b", hash60("s").alias("h"))
+             .distinct())
+    eval_h = (grams.filter(F.col("b") >= 100 - CONTAM_EVAL_PCT)
+              .select("h").distinct()
+              .withColumn("hit", F.lit(1)))
+    train = grams.filter(F.col("b") < 100 - CONTAM_EVAL_PCT)
+    scored = (train.join(F.broadcast(eval_h), "h", "left")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_grams"),
+                   F.sum(F.coalesce("hit", F.lit(0)))
+                   .alias("n_contaminated")))
+    return (scored.filter(F.col("n_contaminated") > 0)
+            .select("doc_id", "n_contaminated", "n_grams",
+                    round6(F.col("n_contaminated") / F.col("n_grams"))
+                    .alias("contaminated_frac"))
+            .orderBy("doc_id"))
+
+
+def hash60_concat_split(doc_col: str) -> F.Column:
+    """Split bucket hash shared with q_split_assign ('split:' salt)."""
+    return F.conv(F.substring(F.md5(F.concat(
+        F.lit("split:"), F.col(doc_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH s AS (
+  SELECT doc_id,
+         ({hash60_sql("'split:' || doc_id::VARCHAR")} % 100) AS b
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT d.doc_id, s.b, {hash60_sql('g.s5')} AS h
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d
+  JOIN s ON s.doc_id = d.doc_id,
+  LATERAL (SELECT unnest({_GRAM5_SQL}) AS s5) g
+  WHERE len(d.w) >= 5
+),
+eval_h AS (
+  SELECT DISTINCT h FROM grams WHERE b >= {100 - CONTAM_EVAL_PCT}
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_grams,
+         count(*) FILTER (WHERE h IN (SELECT h FROM eval_h))
+           AS n_contaminated
+  FROM grams WHERE b < {100 - CONTAM_EVAL_PCT} GROUP BY doc_id
+)
+SELECT doc_id, n_contaminated, n_grams,
+       {sql_round6('n_contaminated::DOUBLE / n_grams')}
+         AS contaminated_frac
+FROM scored WHERE n_contaminated > 0 ORDER BY doc_id
+"""
+
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub with exact counts: plant deterministic email/phone spans
+    (every 7th / 11th doc_id — the driver tables carry no organic PII),
+    then redact with the production regexes and return per-doc counts
+    plus the md5 of the scrubbed text.
+
+    Scale shape: pure map-side regex work in whole-stage codegen — no
+    shuffle, no UDF; the md5 column is what a real pipeline would write
+    back for audit lineage."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com")))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" call "),
+                        F.lpad((did % 900 + 100).cast("string"), 3, "0"),
+                        F.lit("-555-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")))
+    # Spark SQL string literals eat one level of backslashes
+    email_sql = EMAIL_RE.replace("\\", "\\\\")
+    phone_sql = PHONE_RE.replace("\\", "\\\\")
+    base = d.select("doc_id", planted.alias("ptext"))
+    n_emails = F.expr(
+        f"size(regexp_extract_all(ptext, '{email_sql}', 0))")
+    n_phones = F.expr(
+        f"size(regexp_extract_all(ptext, '{phone_sql}', 0))")
+    redacted = F.regexp_replace(
+        F.regexp_replace("ptext", EMAIL_RE, "<EMAIL>"),
+        PHONE_RE, "<PHONE>")
+    return (base.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"))
+        .orderBy("doc_id"))
+
+
+SQL_PII_REDACT = f"""
+WITH p AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call ' || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0')
+                      || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END AS ptext
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(ptext, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(ptext, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(ptext, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM p ORDER BY doc_id
+"""
+
+
+def q_json_props_agg(spark, sf_dir):
+    """Semi-structured extraction: parse the events table's JSON props
+    column (``{"k": <int>}``) and aggregate per event type.
+
+    Scale shape: get_json_object runs JVM-side inside codegen; one
+    map-side-combinable aggregation."""
+    d = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (d.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.sum(k).cast("long").alias("sum_k"),
+                 round6(F.avg(k)).alias("avg_k"))
+            .orderBy("event_type"))
+
+
+SQL_JSON_PROPS_AGG = f"""
+SELECT event_type, count(*) AS n_events,
+       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k,
+       {sql_round6("avg(json_extract_string(props, '$.k')::INT)")} AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES = {
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "contamination_check": (q_contamination_check,
+                            SQL_CONTAMINATION_CHECK),
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "json_props_agg": (q_json_props_agg, SQL_JSON_PROPS_AGG),
+}

@@ -1,0 +1,110 @@
+"""Curation-op invariants + plan locks (relational/curation.py).
+
+The value-level correctness gate is tests/test_relational_oracle.py (DuckDB
+twins); these tests pin the semantic invariants the oracle can't express
+(non-vacuity, scrub completeness, plan shape at scale)."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.relational.curation import (
+    CONTAM_EVAL_PCT, EMAIL_RE, PHONE_RE,
+    q_contamination_check, q_json_props_agg, q_pii_redact,
+    q_repetition_stats)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + \
+        df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_repetition_stats_invariants(spark):
+    rows = q_repetition_stats(spark, SF).toPandas()
+    assert len(rows) > 0
+    assert ((rows.dup_2gram_frac >= 0) & (rows.dup_2gram_frac <= 1)).all()
+    assert ((rows.dup_3gram_frac >= 0) & (rows.dup_3gram_frac <= 1)).all()
+    # non-vacuous both ways: the corpus contains repetitive and clean docs
+    assert rows.repetitive.any() and not rows.repetitive.all()
+    assert (rows.dup_2gram_frac > 0).any()
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    """The metrics are one projection over the scan: no join, no explode,
+    no aggregation exchange (the only exchange allowed is the final
+    presentation orderBy's range partitioning)."""
+    plan = _plan(q_repetition_stats(spark, SF))
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode: grams stay in-row
+    assert "hashpartitioning" not in plan
+
+
+def test_contamination_check_semantics(spark):
+    got = q_contamination_check(spark, SF).toPandas()
+    assert len(got) > 0  # planted near-dups straddle the split
+    assert (got.n_contaminated <= got.n_grams).all()
+    assert ((got.contaminated_frac > 0)
+            & (got.contaminated_frac <= 1)).all()
+    # contaminated docs must all be train-split docs
+    split = (spark.read.parquet(f"{SF}/documents.parquet")
+             .select("doc_id",
+                     F.pmod(F.conv(F.substring(F.md5(F.concat(
+                         F.lit("split:"),
+                         F.col("doc_id").cast("string"))), 1, 15),
+                         16, 10).cast("long"), F.lit(100)).alias("b"))
+             .toPandas().set_index("doc_id").b)
+    assert (split.loc[got.doc_id] < 100 - CONTAM_EVAL_PCT).all()
+
+
+def test_contamination_check_broadcasts_eval_side(spark):
+    """The eval gram set is benchmark-sized at any corpus scale: the join
+    must be a broadcast hash join, never a shuffle or cartesian."""
+    plan = _plan(q_contamination_check(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_pii_redact_counts_and_scrub(spark):
+    got = q_pii_redact(spark, SF).toPandas().set_index("doc_id")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id").toPandas().doc_id)
+    for did in docs:
+        assert got.loc[did, "n_emails"] == (1 if did % 7 == 0 else 0)
+        assert got.loc[did, "n_phones"] == (1 if did % 11 == 0 else 0)
+    # scrub completeness: re-apply the production regexes python-side to a
+    # sample of planted texts and pin the md5 the query reported
+    import hashlib
+    sample = (spark.read.parquet(f"{SF}/documents.parquet")
+              .filter((F.col("doc_id") % 77 == 0))
+              .select("doc_id", "text").toPandas())
+    assert len(sample) > 0
+    for _, r in sample.iterrows():
+        did = int(r.doc_id)
+        planted = r.text + f" contact user{did}@example.com" \
+            + f" call {did % 900 + 100:03d}-555-{did % 10000:04d}"
+        red = re.sub(EMAIL_RE, "<EMAIL>", planted)
+        red = re.sub(PHONE_RE, "<PHONE>", red)
+        assert not re.search(EMAIL_RE, red) and not re.search(PHONE_RE, red)
+        assert got.loc[did, "redacted_md5"] == \
+            hashlib.md5(red.encode()).hexdigest()
+
+
+def test_pii_redact_is_map_side(spark):
+    plan = _plan(q_pii_redact(spark, SF))
+    assert "Join" not in plan
+    assert "hashpartitioning" not in plan
+    # regex work stays in whole-stage codegen (no Python UDF stage)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_json_props_agg_totals(spark):
+    got = q_json_props_agg(spark, SF).toPandas()
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert got.n_events.sum() == n_events
+    assert (got.sum_k > 0).all()
+    plan = _plan(q_json_props_agg(spark, SF))
+    # map-side partial aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
