@@ -151,6 +151,15 @@ def _dedup_extracted_clusters_query(spark: SparkSession,
     return dedup_extracted_clusters(_extracted_frame(spark))
 
 
+def _curate_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only check: the full training-corpus composition — extraction
+    output -> keep-one-per-cluster dedup -> quality/repetition filter ->
+    stable split -> sharded packing (pdf_ocr_spark/curate.py)."""
+    from pdf_ocr_spark.curate import curate_corpus
+
+    return curate_corpus(_extracted_frame(spark))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 (plus the
     training-data ops). See pdf_ocr_spark/relational/* for each query's
@@ -162,12 +171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_extracted_exact"] = _dedup_extracted_exact_query
     out["dedup_extracted_neardup"] = _dedup_extracted_neardup_query
     out["dedup_extracted_clusters"] = _dedup_extracted_clusters_query
+    out["curate_corpus"] = _curate_corpus_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query (extract_transcripts and the three
-    dedup_extracted_* compositions are omitted: the raster/OCR path
+    """DuckDB oracle SQL per query (extract_transcripts, the three
+    dedup_extracted_* compositions, and curate_corpus are omitted: the
+    raster/OCR path
     inside them is not SQL-expressible — driver rows-only checks; their
     dedup math is oracle-gated separately via the dedup_* entries and
     pinned by tests/test_dedup_extracted.py equality tests)."""

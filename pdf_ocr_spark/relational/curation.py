@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .util import round6, sql_round6, hash60, hash60_sql, t
+from .util import round6, sql_round6, hash60, hash60_sql, salted_mod, t
 
 # Gopher's production thresholds (0.20 duplicate-2-gram / 0.18 3-gram char
 # fractions) are tuned for web text; this synthetic corpus is a small-vocab
@@ -116,7 +116,7 @@ def q_contamination_check(spark, sf_dir):
     Grams compare by the portable 60-bit md5 hash (identical in the
     oracle), so the broadcast ships longs, not strings."""
     d = t(spark, sf_dir, "documents")
-    bucket = F.pmod(hash60_concat_split("doc_id"), F.lit(100))
+    bucket = salted_mod("doc_id", "split:", 100)
     grams = (d.select("doc_id", bucket.alias("b"),
                       F.split("text", " ").alias("w"))
              .filter(F.size("w") >= 5)
@@ -138,13 +138,6 @@ def q_contamination_check(spark, sf_dir):
                     round6(F.col("n_contaminated") / F.col("n_grams"))
                     .alias("contaminated_frac"))
             .orderBy("doc_id"))
-
-
-def hash60_concat_split(doc_col: str) -> F.Column:
-    """Split bucket hash shared with q_split_assign ('split:' salt)."""
-    return F.conv(F.substring(F.md5(F.concat(
-        F.lit("split:"), F.col(doc_col).cast("string"))), 1, 15),
-        16, 10).cast("long")
 
 
 SQL_CONTAMINATION_CHECK = f"""

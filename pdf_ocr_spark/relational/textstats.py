@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .util import round6, MOD, hash60_sql, t
+from .util import round6, MOD, hash60_sql, salted_mod, t
 
 _STOPWORDS = ("a", "the", "of", "and", "in", "to")
 _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -46,18 +46,27 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def quality_cols(text_col: str = "text"):
+    """(n_tokens, avg_token_len, punct_ratio, quality) columns over a
+    string column — the scoring formula shared by q_quality_score and the
+    curate_corpus composition (pdf_ocr_spark/curate.py)."""
+    n_tokens = F.size(F.split(F.trim(text_col), " "))
+    n_punct = F.expr(
+        rf"size(regexp_extract_all({text_col}, '[^A-Za-z0-9\\s]', 0))")
+    avg_tok = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))) \
+        / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(F.length(text_col), F.lit(1))
+    score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+             + (1.0 - punct_ratio) * 0.3
+             + F.least(avg_tok / F.lit(8.0), F.lit(1.0)) * 0.2)
+    return n_tokens, avg_tok, punct_ratio, score
+
+
 def q_quality_score(spark, sf_dir):
     """Document quality scoring: token count, mean token length,
     punctuation ratio -> weighted score in [0, 1]."""
     d = t(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim("text"), " "))
-    n_punct = F.expr(r"size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))")
-    avg_tok = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) \
-        / F.greatest(n_tokens, F.lit(1))
-    punct_ratio = n_punct / F.greatest(F.length("text"), F.lit(1))
-    score = (F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
-             + (1.0 - punct_ratio) * 0.3
-             + F.least(avg_tok / F.lit(8.0), F.lit(1.0)) * 0.2)
+    n_tokens, avg_tok, punct_ratio, score = quality_cols("text")
     return (d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -152,11 +161,7 @@ def q_split_assign(spark, sf_dir, train_pct: int = 80, val_pct: int = 10):
     migrates between train and eval when the corpus grows). Pure
     map-side expression: no shuffle, scales linearly."""
     d = t(spark, sf_dir, "documents")
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15),
-            16, 10).cast("long"),
-        F.lit(100))
+    b = salted_mod("doc_id", "split:", 100)
     split = (F.when(b < train_pct, "train")
              .when(b < train_pct + val_pct, "val")
              .otherwise("test"))
@@ -196,11 +201,7 @@ def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
     from pyspark.sql.window import Window
     d = t(spark, sf_dir, "documents")
     toks = F.size(F.split(F.trim("text"), r"\s+"))
-    shard = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(
-            F.lit("pack:"), F.col("doc_id").cast("string"))), 1, 15),
-            16, 10).cast("long"),
-        F.lit(n_shards)).cast("int")
+    shard = salted_mod("doc_id", "pack:", n_shards).cast("int")
     base = d.select("doc_id", shard.alias("shard"),
                     toks.cast("long").alias("n_tokens"))
     w = (Window.partitionBy("shard").orderBy("doc_id")

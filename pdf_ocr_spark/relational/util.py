@@ -47,6 +47,17 @@ def hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT::BIGINT)"
 
 
+def salted_mod(key, salt: str, mod: int) -> F.Column:
+    """Deterministic bucket in [0, mod): portable 60-bit md5 hash of
+    salt || key, reduced mod ``mod``. The salt namespaces independent
+    bucketings (split assignment vs pack sharding) so they decorrelate."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))),
+                           1, 15), 16, 10).cast("long"),
+        F.lit(mod))
+
+
 def _lcg_floats(seed: int, n: int) -> list:
     """Deterministic floats in [-1, 1) shared by Spark and SQL literals."""
     out = []
