@@ -31,6 +31,9 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard", "dedup_simhash_hamming", "dedup_clusters",
     "ann_cosine_topk", "knn_label_vote", "token_count", "quality_score",
     "doc_fingerprint",
+    # r4 curation ops: the broadcast contamination join and the map-side
+    # repetition metrics
+    "contamination_check", "repetition_stats",
 ]
 
 
@@ -135,9 +138,11 @@ def main() -> None:
                        run_id="bench-composed", resume=False)
         composed["extract"] = round(time.time() - t0, 3)
         ext = spark.read.parquet(os.path.join(workdir, "out"))
+        from pdf_ocr_spark.curate import curate_corpus
         for cname, cfn in (("exact", dedup_extracted_exact),
                            ("neardup", dedup_extracted_neardup),
-                           ("clusters", dedup_extracted_clusters)):
+                           ("clusters", dedup_extracted_clusters),
+                           ("curate", curate_corpus)):
             t0 = time.time()
             cfn(ext).count()
             composed[cname] = round(time.time() - t0, 3)
@@ -150,7 +155,8 @@ def main() -> None:
     # like-for-like subtotal over the r3-era suite (headline grew by
     # three dedup ops in r4, so `value` is not comparable to BENCH_r03)
     r4_added = {"dedup_ngram_jaccard", "dedup_simhash_hamming",
-                "dedup_clusters"}
+                "dedup_clusters", "contamination_check",
+                "repetition_stats"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

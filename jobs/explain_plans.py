@@ -27,6 +27,9 @@ CHECKS = {
     "reading_order": ["WindowGroupLimit"],  # rank pushed into group limit
     # packing window must partition by shard, never a global window
     "corpus_pack": ["hashpartitioning(shard"],
+    # eval gram set must be the broadcast side
+    "contamination_check": ["BroadcastHashJoin"],
+    "curate_corpus": ["hashpartitioning(split", "BroadcastHashJoin"],
 }
 
 
@@ -124,10 +127,17 @@ def main() -> None:
             "single-partition global window — shards pack independently "
             "and scale with the cluster; the only global exchange is "
             "the final output orderBy shared by every oracle query.",
+        "contamination_check":
+            "Benchmark-contamination scan: the eval gram set (bounded "
+            "by the benchmark size at ANY corpus scale) is the "
+            "BroadcastHashJoin build side — the training corpus is "
+            "never shuffled against it; grams travel as 60-bit hashes, "
+            "not strings; one distinct-shuffle + one aggregation.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
-                 "dedup_ngram_jaccard", "reading_order", "corpus_pack"):
+                 "dedup_ngram_jaccard", "reading_order", "corpus_pack",
+                 "contamination_check"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
@@ -150,6 +160,17 @@ def main() -> None:
         "band equi-join + verify untouched, and the (conv, turn) "
         "identity joined back as plain hash joins (pair side is small "
         "-> AQE broadcasts).")
+
+    from pdf_ocr_spark.curate import curate_corpus
+    capture(
+        "curate_corpus", curate_corpus(extracted),
+        "The full curation composition over extraction output. Look "
+        "for: the dedup sub-plan unchanged (band equi-join + verify + "
+        "CC label join); quality/repetition metrics evaluated in the "
+        "same projection as the canonical filter (no extra shuffle, no "
+        "Python UDF stage); split/shard assignment map-side; the "
+        "packing window partitioned by (split, shard) — "
+        "hashpartitioning(split, shard...), never SinglePartition.")
 
     out = os.path.join(repo, "PLANS.md")
     with open(out, "w") as f:

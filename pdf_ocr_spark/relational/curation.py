@@ -260,8 +260,53 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_domain_mix(spark, sf_dir):
+    """Domain-mixture weighting: per-source token counts, the source's
+    natural share of the corpus, and the sampling weight that rebalances
+    training to a uniform target mixture (weight = target/natural, the
+    standard importance-sampling correction; DoReMi-style pipelines swap
+    in a learned target vector, same plumbing).
+
+    Scale shape: the corpus collapses to one row per source FIRST
+    (map-side-combinable agg); the share/weight window runs over that
+    already-aggregated, sources-sized frame — a deliberate global window
+    over n_sources rows, never over the corpus."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    per_src = (d.groupBy("source")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum(toks).cast("long").alias("n_tokens")))
+    w = Window.partitionBy(F.lit(1))
+    share = F.col("n_tokens") / F.sum("n_tokens").over(w)
+    n_src = F.count("*").over(w)
+    return (per_src
+            .select("source", "n_docs", "n_tokens",
+                    round6(share).alias("natural_share"),
+                    round6((1.0 / n_src) / share).alias("mix_weight"))
+            .orderBy("source"))
+
+
+SQL_DOMAIN_MIX = rf"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\s+')))::BIGINT
+           AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       {sql_round6('n_tokens / (sum(n_tokens) OVER ())::DOUBLE')}
+         AS natural_share,
+       {sql_round6('(1.0 / (count(*) OVER ())) '
+                   '/ (n_tokens / (sum(n_tokens) OVER ())::DOUBLE)')}
+         AS mix_weight
+FROM per_src ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "contamination_check": (q_contamination_check,
                             SQL_CONTAMINATION_CHECK),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
