@@ -304,8 +304,155 @@ FROM per_src ORDER BY source
 """
 
 
+LINE_WORDS = 10   # deterministic chunking: the corpus is single-line
+#                   word soup, so "lines" are fixed 10-word chunks —
+#                   identical expressions in both engines
+LINE_MIN_DF = 3   # remove a line seen in >= 3 distinct docs (the same
+#                   >=3-repeat gate as the header/footer op, L4)
+
+
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level line deduplication (CCNet / RefinedWeb boilerplate
+    removal): chunk each document into deterministic 10-word lines,
+    count each line's corpus-wide document frequency, drop lines seen in
+    >= LINE_MIN_DF distinct documents, and rebuild the document from the
+    surviving lines in order. Returns per-doc line counts plus the md5
+    of the cleaned text (what a real pipeline writes back).
+
+    Scale shape: posexplode -> distinct (line,doc) -> map-side-combinable
+    df count; lines travel as the portable 60-bit hash, not strings, into
+    the removal join (NOT broadcast by construction — at 100 TB the
+    boilerplate set is corpus-sized-ish, so it stays a shuffled hash
+    join on the already-partitioned hash key; AQE will broadcast it when
+    it is in fact small); ordered rebuild is one groupBy with an
+    array_sort on (pos, line) — no global window, no Python UDF."""
+    d = t(spark, sf_dir, "documents")
+    lines_expr = (
+        f"transform(sequence(0, cast(ceil(size(w) / {LINE_WORDS}.0) as int)"
+        f" - 1), g -> concat_ws(' ', slice(w, g * {LINE_WORDS} + 1, "
+        f"{LINE_WORDS})))")
+    lines = (d.select("doc_id", F.split("text", " ").alias("w"))
+             .select("doc_id",
+                     F.posexplode(F.expr(lines_expr)).alias("pos", "line"))
+             .withColumn("h", hash60("line")))
+    rem = (lines.select("h", "doc_id").distinct()
+           .groupBy("h").agg(F.count("*").alias("df"))
+           .filter(F.col("df") >= LINE_MIN_DF)
+           .select("h", F.lit(1).alias("rm")))
+    scored = lines.join(rem, "h", "left")
+    cleaned = F.expr(
+        "concat_ws(' ', transform(array_sort(collect_list("
+        "case when rm is null then struct(pos, line) end)), x -> x.line))")
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.when(F.col("rm") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_removed"),
+                 F.md5(cleaned).alias("cleaned_md5"))
+            .orderBy("doc_id"))
+
+
+SQL_LINE_DEDUP = f"""
+WITH L AS (
+  SELECT doc_id, g AS pos,
+         array_to_string(
+           w[(g * {LINE_WORDS} + 1):(g * {LINE_WORDS} + {LINE_WORDS})],
+           ' ') AS line
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+       LATERAL (SELECT unnest(range(0,
+                  cast(ceil(len(w) / {LINE_WORDS}.0) AS INT))) AS g)
+),
+H AS (SELECT doc_id, pos, line, {hash60_sql('line')} AS h FROM L),
+R AS (
+  SELECT h FROM (SELECT DISTINCT h, doc_id FROM H)
+  GROUP BY h HAVING count(*) >= {LINE_MIN_DF}
+)
+SELECT doc_id, count(*) AS n_lines,
+       count(*) FILTER (WHERE h IN (SELECT h FROM R)) AS n_removed,
+       md5(coalesce(string_agg(line, ' ' ORDER BY pos)
+                    FILTER (WHERE h NOT IN (SELECT h FROM R)), ''))
+         AS cleaned_md5
+FROM H GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SAMPLE_TARGET_PER_SOURCE = 10  # downsample every domain to ~this many
+#                                docs (driver tables hold 25 docs/source,
+#                                so 10 makes the cap non-vacuous)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified (per-domain) downsampling: cap every
+    source at ~SAMPLE_TARGET_PER_SOURCE docs by keeping doc_ids whose
+    salted md5 bucket (of 10,000) falls under floor(target*10000 /
+    n_source_docs) — reproducible across runs and engines, no RNG.
+
+    Scale shape: the per-source count table has one row per domain
+    (broadcast by construction); the filter itself is map-side, so the
+    whole op is one small agg + one broadcast join + a scan."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_src"))
+    thresh = F.least(
+        F.lit(10000),
+        F.floor(F.lit(SAMPLE_TARGET_PER_SOURCE * 10000) / F.col("n_src")))
+    return (d.join(F.broadcast(per), "source")
+            .filter(salted_mod("doc_id", "sample:", 10000) < thresh)
+            .select("doc_id", "source")
+            .orderBy("doc_id"))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH per AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source)
+SELECT doc_id, d.source
+FROM documents d JOIN per USING (source)
+WHERE ({hash60_sql("'sample:' || doc_id::VARCHAR")} % 10000)
+      < least(10000, {SAMPLE_TARGET_PER_SOURCE * 10000} // n_src)
+ORDER BY doc_id
+"""
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Per-source token-length distribution (exact p10/p50/p90): the
+    numbers a curation pipeline reads to set its length-filter
+    thresholds per domain. Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` both interpolate linearly at rank (n-1)*p, so the
+    twins agree bit-for-bit after round6.
+
+    Scale shape: exact percentile is a per-group sort — fine while every
+    (source) group fits an executor (true for per-domain grouping); at
+    finer granularity swap in approx_percentile, same plumbing."""
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim("text"), r"\s+"))
+    base = d.select("source", ntok.alias("n_tok"))
+    return (base.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 round6(F.expr("percentile(n_tok, 0.1)"))
+                 .alias("p10_tokens"),
+                 round6(F.expr("percentile(n_tok, 0.5)"))
+                 .alias("p50_tokens"),
+                 round6(F.expr("percentile(n_tok, 0.9)"))
+                 .alias("p90_tokens"))
+            .orderBy("source"))
+
+
+SQL_LENGTH_QUANTILES = rf"""
+WITH b AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       {sql_round6('quantile_cont(n_tok, 0.1)')} AS p10_tokens,
+       {sql_round6('quantile_cont(n_tok, 0.5)')} AS p50_tokens,
+       {sql_round6('quantile_cont(n_tok, 0.9)')} AS p90_tokens
+FROM b GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "contamination_check": (q_contamination_check,
                             SQL_CONTAMINATION_CHECK),

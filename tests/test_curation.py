@@ -108,3 +108,72 @@ def test_json_props_agg_totals(spark):
     plan = _plan(q_json_props_agg(spark, SF))
     # map-side partial aggregation before the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_line_dedup_semantics(spark):
+    from pdf_ocr_spark.relational.curation import (
+        LINE_MIN_DF, LINE_WORDS, q_line_dedup)
+    got = q_line_dedup(spark, SF).toPandas().set_index("doc_id")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text", F.md5("text").alias("m"))
+            .toPandas().set_index("doc_id"))
+    assert len(got) == len(docs)          # every doc survives (maybe empty)
+    assert (got.n_removed <= got.n_lines).all()
+    assert (got.n_removed > 0).any()      # non-vacuous: boilerplate exists
+    # untouched docs rebuild to the byte-identical original text
+    untouched = got[got.n_removed == 0]
+    assert len(untouched) > 0
+    assert (untouched.cleaned_md5 == docs.loc[untouched.index].m).all()
+    # scrubbed docs must differ from the original
+    touched = got[got.n_removed > 0]
+    assert (touched.cleaned_md5 != docs.loc[touched.index].m).all()
+    # driver-side recompute of one touched doc pins the chunk semantics
+    did = int(touched.index[0])
+    words = docs.loc[did].text.split(" ")
+    lines = [" ".join(words[i:i + LINE_WORDS])
+             for i in range(0, len(words), LINE_WORDS)]
+    all_lines = {}
+    for t_doc, t_row in docs.iterrows():
+        ws = t_row.text.split(" ")
+        for ln in {" ".join(ws[i:i + LINE_WORDS])
+                   for i in range(0, len(ws), LINE_WORDS)}:
+            all_lines.setdefault(ln, set()).add(t_doc)
+    kept = [ln for ln in lines if len(all_lines[ln]) < LINE_MIN_DF]
+    import hashlib
+    want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+    assert got.loc[did].cleaned_md5 == want
+
+
+def test_line_dedup_no_cartesian_no_udf(spark):
+    from pdf_ocr_spark.relational.curation import q_line_dedup
+    plan = _plan(q_line_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_caps_and_broadcast(spark):
+    from pdf_ocr_spark.relational.curation import (
+        SAMPLE_TARGET_PER_SOURCE, q_stratified_sample)
+    got = q_stratified_sample(spark, SF).toPandas()
+    per_src = got.groupby("source").size()
+    totals = (spark.read.parquet(f"{SF}/documents.parquet")
+              .groupBy("source").count().toPandas()
+              .set_index("source")["count"])
+    assert len(got) > 0
+    for src, n in per_src.items():
+        assert n <= totals[src]
+        # hash-uniform Bernoulli: within a wide band of the target
+        assert n <= 3 * SAMPLE_TARGET_PER_SOURCE
+    # sampling actually reduced at least one oversized source
+    assert (per_src < totals.loc[per_src.index]).any()
+    plan = _plan(q_stratified_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_quantiles_monotone(spark):
+    from pdf_ocr_spark.relational.curation import q_length_quantiles
+    got = q_length_quantiles(spark, SF).toPandas()
+    assert len(got) > 0
+    assert (got.p10_tokens <= got.p50_tokens).all()
+    assert (got.p50_tokens <= got.p90_tokens).all()
+    assert (got.n_docs > 0).all()

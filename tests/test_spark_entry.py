@@ -19,7 +19,8 @@ def test_queries_and_oracles_align(spark):
     # the only non-SQL-expressible queries embed the raster/OCR pipeline
     assert set(qs) - set(oracles) == {
         "extract_transcripts", "dedup_extracted_exact",
-        "dedup_extracted_neardup", "dedup_extracted_clusters"}
+        "dedup_extracted_neardup", "dedup_extracted_clusters",
+        "curate_corpus"}
     assert len(qs) >= 25
 
 
