@@ -167,11 +167,12 @@ def q_ann_ivf(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
             .orderBy(F.desc("cosine"), "vec_id").limit(k))
 
 
-def make_ivf_sql(n_cents: int = 16, n_iters: int = 2, nprobe: int = 2,
-                 k: int = 5) -> str:
-    """DuckDB oracle twin of q_ann_ivf at the same parameters. Dimension
-    means use the same floor-based 6-decimal rounding, so the refined
-    centroids are bit-identical across engines."""
+def _train_assign_ctes(n_cents: int, n_iters: int) -> list:
+    """Shared DuckDB CTE chain for deterministic k-means training +
+    final assignment: seeds c0 from vec_id < n_cents, runs n_iters Lloyd
+    steps with floor-rounded 6-decimal dimension means (bit-identical to
+    the Spark side), and ends with ``af`` — every vector labeled with its
+    max-dot centroid. Reused by the IVF and SemDeDup oracle twins."""
     ctes = [f"""emb AS (SELECT vec_id, label, embedding FROM embeddings),
 c0 AS (
   SELECT vec_id AS cent_id,
@@ -206,8 +207,18 @@ c0 AS (
                               ORDER BY {_SQL_DOT_C} DESC, c.cent_id) AS rn
     FROM emb e, {prev} c
   ) WHERE rn = 1
-),
-probe AS (
+)""")
+    return ctes
+
+
+def make_ivf_sql(n_cents: int = 16, n_iters: int = 2, nprobe: int = 2,
+                 k: int = 5) -> str:
+    """DuckDB oracle twin of q_ann_ivf at the same parameters. Dimension
+    means use the same floor-based 6-decimal rounding, so the refined
+    centroids are bit-identical across engines."""
+    ctes = _train_assign_ctes(n_cents, n_iters)
+    prev = f"c{n_iters}" if n_iters else "c0"
+    ctes.append(f"""probe AS (
   SELECT cent_id FROM (
     SELECT c.cent_id,
            row_number() OVER (ORDER BY
@@ -433,6 +444,82 @@ FROM clusters ORDER BY vec_id
 """
 
 
+# --- SemDeDup: cluster-then-dedup semantic deduplication --------------------
+def q_semdedup(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
+               threshold: float = EMB_NEARDUP_DEFAULT):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then within each cluster mark every vector that has
+    a LOWER-id cluster-mate with cosine >= threshold as a semantic
+    duplicate (keep the min-id exemplar). Returns every vector with its
+    cluster and keep/drop verdict — the row a curation pipeline joins
+    back onto the corpus as its semantic-dedup filter.
+
+    Training reuses the IVF machinery (deterministic seeded Lloyd with
+    6-decimal-rounded means, identical in the DuckDB twin).
+
+    Scale shape: this is the whole point of the paper's design — the
+    quadratic pair search is confined WITHIN clusters (a cent_id
+    equi-join, never a corpus cross join), so cost is
+    sum(cluster_size^2) with k chosen to bound cluster sizes; training
+    is broadcast-join + map-side-combinable means. At 100 TB, raise
+    n_cents so clusters stay executor-sized — same plan."""
+    e = t(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    cents = (e.filter(F.col("vec_id") < n_cents)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.expr("transform(embedding, x -> cast(x as double))")
+                     .alias("c_emb")))
+    for _ in range(n_iters):
+        cents = _lloyd_update(_assign(e, cents))
+    assigned = _assign(e, cents)
+
+    a1 = assigned.select("cent_id", F.col("vec_id").alias("a_id"),
+                         F.col("embedding").alias("emb_a"))
+    a2 = assigned.select("cent_id", F.col("vec_id").alias("b_id"),
+                         F.col("embedding").alias("q_emb"))
+    dot = ("aggregate(zip_with(emb_a, q_emb, (x, y) -> "
+           "cast(x as double) * cast(y as double)), 0D, "
+           "(acc, v) -> acc + v)")
+    na = ("sqrt(aggregate(transform(emb_a, x -> cast(x as double) * "
+          "cast(x as double)), 0D, (acc, v) -> acc + v))")
+    dups = (a1.join(a2, "cent_id")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(F.expr(dot) / (F.expr(na) * F.expr(_NORM_Q))
+                    >= threshold)
+            .select(F.col("b_id").alias("vec_id")).distinct()
+            .withColumn("dup", F.lit(1)))
+    return (assigned.join(dups, "vec_id", "left")
+            .select("vec_id", "cent_id",
+                    F.col("dup").isNull().alias("keep"))
+            .orderBy("vec_id"))
+
+
+def make_semdedup_sql(n_cents: int = 16, n_iters: int = 2,
+                      threshold: float = EMB_NEARDUP_THRESHOLD) -> str:
+    """DuckDB oracle twin of q_semdedup at the same parameters (shares
+    the k-means training CTEs with the IVF twin)."""
+    ctes = _train_assign_ctes(n_cents, n_iters)
+    ctes.append(f"""pairs AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+         x.embedding AS emb_a, y.embedding AS q_emb
+  FROM af x JOIN af y
+    ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+),
+dups AS (
+  SELECT DISTINCT b_id FROM pairs
+  WHERE {_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_Q}) >= {threshold}
+)""")
+    body = """
+SELECT a.vec_id, a.cent_id,
+       (a.vec_id NOT IN (SELECT b_id FROM dups)) AS keep
+FROM af a ORDER BY a.vec_id"""
+    return "WITH " + ",\n".join(ctes) + body
+
+
+SQL_SEMDEDUP = make_semdedup_sql()
+
+
 # Gate wrappers: the synthetic-embeddings threshold is passed EXPLICITLY
 # here (and only here) so the public functions keep the production 0.95
 # default (ADVICE r3). The SQL twins are generated at the same value.
@@ -446,8 +533,13 @@ def _gate_dedup_embedding_clusters(spark, sf_dir):
                                       threshold=EMB_NEARDUP_THRESHOLD)
 
 
+def _gate_semdedup(spark, sf_dir):
+    return q_semdedup(spark, sf_dir, threshold=EMB_NEARDUP_THRESHOLD)
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "semdedup": (_gate_semdedup, SQL_SEMDEDUP),
     "dedup_embedding_clusters": (_gate_dedup_embedding_clusters,
                                  SQL_DEDUP_EMBEDDING_CLUSTERS),
     "dedup_embedding_cosine": (_gate_dedup_embedding_cosine,

@@ -42,3 +42,43 @@ def test_probe_widening_is_monotone(spark):
     # its relative order (both ranked by the same exact cosine)
     common = [v for v in four if v in two]
     assert common == [v for v in two if v in common]
+
+
+def test_semdedup_drops_are_justified_and_minimal(spark):
+    """Every dropped vector must have a LOWER-id same-cluster mate at
+    cosine >= threshold (justified), and every kept vector must NOT
+    (minimal) — the exact SemDeDup keep-min-exemplar semantics,
+    recomputed driver-side with numpy."""
+    import numpy as np
+    from pdf_ocr_spark.relational.similarity import (
+        EMB_NEARDUP_THRESHOLD, q_semdedup)
+    got = q_semdedup(spark, SF, threshold=EMB_NEARDUP_THRESHOLD) \
+        .toPandas().set_index("vec_id").sort_index()
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .select("vec_id", "embedding").toPandas()
+           .set_index("vec_id").sort_index())
+    assert len(got) == len(emb)
+    assert (~got.keep).any() and got.keep.any()  # non-vacuous both ways
+    m = np.array([np.array(v, dtype=np.float64) for v in emb.embedding])
+    norms = np.linalg.norm(m, axis=1)
+    cos = (m @ m.T) / np.outer(norms, norms)
+    ids = emb.index.to_numpy()
+    cent = got.cent_id.to_numpy()
+    for i, vid in enumerate(ids):
+        mates = np.where((cent == cent[i]) & (ids < vid))[0]
+        has_near = bool(len(mates)) and \
+            (cos[i, mates] >= EMB_NEARDUP_THRESHOLD).any()
+        assert bool(got.keep.loc[vid]) == (not has_near), vid
+
+
+def test_semdedup_pairs_stay_within_clusters(spark):
+    """The quadratic search must be a cent_id equi-join: no
+    CartesianProduct and no vector-vector BroadcastNestedLoopJoin other
+    than the tiny centroid-assignment broadcasts."""
+    from pdf_ocr_spark.relational.similarity import q_semdedup
+    df = q_semdedup(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+        "BroadcastHashJoin" in plan  # the cent_id pair equi-join
