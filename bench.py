@@ -34,6 +34,8 @@ HEADLINE_QUERIES = [
     # r4 curation ops: the broadcast contamination join and the map-side
     # repetition metrics
     "contamination_check", "repetition_stats",
+    # late-r4: corpus line dedup (CCNet-style) + clustered semantic dedup
+    "line_dedup", "semdedup",
 ]
 
 
@@ -156,7 +158,7 @@ def main() -> None:
     # three dedup ops in r4, so `value` is not comparable to BENCH_r03)
     r4_added = {"dedup_ngram_jaccard", "dedup_simhash_hamming",
                 "dedup_clusters", "contamination_check",
-                "repetition_stats"}
+                "repetition_stats", "line_dedup", "semdedup"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

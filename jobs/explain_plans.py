@@ -30,6 +30,10 @@ CHECKS = {
     # eval gram set must be the broadcast side
     "contamination_check": ["BroadcastHashJoin"],
     "curate_corpus": ["hashpartitioning(split", "BroadcastHashJoin"],
+    # the df-count join keys on the line hash; no corpus cross join
+    "line_dedup": ["HashAggregate"],
+    # the quadratic search must be a cent_id equi-join
+    "semdedup": ["Join"],
 }
 
 
@@ -133,11 +137,26 @@ def main() -> None:
             "BroadcastHashJoin build side — the training corpus is "
             "never shuffled against it; grams travel as 60-bit hashes, "
             "not strings; one distinct-shuffle + one aggregation.",
+        "line_dedup":
+            "CCNet-style corpus line dedup: lines travel as 60-bit "
+            "hashes into the df-count aggregation (map-side "
+            "combinable); the removal join keys on that hash (NOT "
+            "broadcast by construction — the boilerplate set is "
+            "unbounded at corpus scale, AQE broadcasts it when small); "
+            "the ordered rebuild is one groupBy with an in-row "
+            "array_sort, no global window.",
+        "semdedup":
+            "SemDeDup: every vector-vector comparison is confined "
+            "within a k-means cell (cent_id equi-join) — the corpus is "
+            "never cross-joined; training assignments broadcast the "
+            "n_cents centroids; Lloyd means are explode + "
+            "map-side-combinable aggregation. At 100 TB raise n_cents "
+            "so sum(cluster_size^2) stays bounded — same plan.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "dedup_ngram_jaccard", "reading_order", "corpus_pack",
-                 "contamination_check"):
+                 "contamination_check", "line_dedup", "semdedup"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
