@@ -36,6 +36,8 @@ HEADLINE_QUERIES = [
     "contamination_check", "repetition_stats",
     # late-r4: corpus line dedup (CCNet-style) + clustered semantic dedup
     "line_dedup", "semdedup",
+    # late-r4: ExactSubstr window dedup, BM25 search, LM perplexity filter
+    "substring_dedup", "bm25_topk", "lm_perplexity",
 ]
 
 
@@ -158,7 +160,8 @@ def main() -> None:
     # three dedup ops in r4, so `value` is not comparable to BENCH_r03)
     r4_added = {"dedup_ngram_jaccard", "dedup_simhash_hamming",
                 "dedup_clusters", "contamination_check",
-                "repetition_stats", "line_dedup", "semdedup"}
+                "repetition_stats", "line_dedup", "semdedup",
+                "substring_dedup", "bm25_topk", "lm_perplexity"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

@@ -34,6 +34,10 @@ CHECKS = {
     "line_dedup": ["HashAggregate"],
     # the quadratic search must be a cent_id equi-join
     "semdedup": ["Join"],
+    # window-hash occurrence count; dup-set equi-join; no cartesian
+    "substring_dedup": ["HashAggregate"],
+    # 3-row query-term table broadcast; top-k never globally sorts
+    "bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
 }
 
 
@@ -152,11 +156,26 @@ def main() -> None:
             "n_cents centroids; Lloyd means are explode + "
             "map-side-combinable aggregation. At 100 TB raise n_cents "
             "so sum(cluster_size^2) stays bounded — same plan.",
+        "substring_dedup":
+            "ExactSubstr (Lee et al. 2021) as a sliding-window hash "
+            "join: K-token windows travel as 60-bit hashes into a "
+            "map-side-combinable occurrence count; the dup-set join "
+            "keys on that hash (AQE broadcasts it when small); the "
+            "span union + token rebuild are in-row array expressions "
+            "inside one groupBy — no global window, no UDF.",
+        "bm25_topk":
+            "BM25 search: tf/df/dl are map-side-combinable aggs over "
+            "one explode; the query-term table is 3 rows (broadcast by "
+            "construction), so scoring touches only matching postings; "
+            "the top-k is TakeOrderedAndProject — the scored corpus is "
+            "never globally sorted, and the rank window runs over k "
+            "rows post-limit.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "dedup_ngram_jaccard", "reading_order", "corpus_pack",
-                 "contamination_check", "line_dedup", "semdedup"):
+                 "contamination_check", "line_dedup", "semdedup",
+                 "substring_dedup", "bm25_topk"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the

@@ -12,7 +12,21 @@ import numpy as np
 
 
 def _to_gray(img: np.ndarray) -> np.ndarray:
+    """Channel-mean gray, bit-identical to
+    ``rint(img.astype(float64).mean(axis=2))``.
+
+    RGB fast path in uint16 fixed point: with s = r+g+b, s/3 has
+    fractional part in {0, 1/3, 2/3} — never an exact .5 tie — so
+    round-half-even == floor(s/3 + 1/2) == (2s+3)//6 exactly. This
+    avoids a 24-byte/px float64 temporary on a page-sized image; the
+    decode stage is DRAM-bandwidth-bound at high parallelism (measured:
+    per-worker throughput -18% at 8 concurrent decoders). Non-3-channel
+    inputs (s/4 CAN tie at .5, where rint rounds to even) keep the
+    float64 path."""
     if img.ndim == 3:
+        if img.shape[2] == 3:
+            s = np.add.reduce(img, axis=2, dtype=np.uint16)
+            return ((2 * s + 3) // 6).astype(np.uint8)
         return np.rint(img.astype(np.float64).mean(axis=2)).astype(np.uint8)
     return img
 

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .. import fonts
-from ..kernels.binarize import otsu_threshold
+from ..kernels.binarize import _to_gray, otsu_threshold
 
 
 @dataclass
@@ -96,10 +96,10 @@ class DeterministicOCREngine:
         self.recognize(np.full((32, 32), 255, dtype=np.uint8))
 
     def recognize(self, image: np.ndarray, page_num: int = 0) -> OCRResult:
-        gray = image
-        if image.ndim == 3:
-            gray = np.rint(image.astype(np.float64).mean(axis=2)) \
-                .astype(np.uint8)
+        # integer fixed-point gray (bit-identical to the float64 rint
+        # mean — see _to_gray): skips the 24-byte/px float64 temporary
+        # that made this the second-largest DRAM pass in the decode
+        gray = _to_gray(image)
         thr = otsu_threshold(gray)
         ink = gray <= thr
         # a near-blank page: otsu on flat histogram marks everything ink

@@ -448,8 +448,157 @@ FROM b GROUP BY source ORDER BY source
 """
 
 
+SUBSTR_K = 8       # duplicated-run length in tokens. Lee et al. 2021
+#                    ("Deduplicating Training Data Makes Language Models
+#                    Better") use 50 BPE tokens on web text; the driver's
+#                    synthetic docs are 10-99 words, so 8 keeps the op
+#                    non-vacuous (measured sf0.01: 2,101 duplicated windows
+#                    across 47 of 500 docs — near-dup docs share long runs)
+SUBSTR_MIN_OCC = 2  # a window is "duplicated" at >= 2 total occurrences
+#                    (ExactSubstr counts occurrences, not distinct docs:
+#                    within-doc repeats are cut too)
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact-substring deduplication (ExactSubstr, Lee et al. 2021): any
+    run of SUBSTR_K tokens that occurs >= SUBSTR_MIN_OCC times corpus-wide
+    is removed from every document; overlapping duplicated windows merge
+    into spans (union of covered token positions). Returns per-doc token /
+    duplicated-token counts plus the md5 of the cleaned text.
+
+    The reference paper builds a suffix array; the Spark-native shape is a
+    sliding-window hash join — same semantics at fixed K.
+
+    Scale shape: windows travel as the portable 60-bit hash into a
+    map-side-combinable occurrence count; the dup-set join keys on that
+    hash (NOT broadcast by construction — duplicated-window sets are
+    corpus-sized on real web text, AQE broadcasts when small); the
+    position union and token rebuild are in-row array expressions inside
+    one groupBy — no global window, no Python UDF, no cartesian."""
+    d = t(spark, sf_dir, "documents")
+    base = (d.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= SUBSTR_K))
+    wins_expr = (
+        f"transform(sequence(1, size(w) - {SUBSTR_K - 1}), "
+        f"g -> concat_ws(' ', slice(w, g, {SUBSTR_K})))")
+    wins = (base.select(
+        "doc_id", F.posexplode(F.expr(wins_expr)).alias("p0", "gram"))
+        .select("doc_id", (F.col("p0") + 1).alias("g"),
+                hash60("gram").alias("h")))
+    dup = (wins.groupBy("h").agg(F.count("*").alias("occ"))
+           .filter(F.col("occ") >= SUBSTR_MIN_OCC).select("h"))
+    marked = (wins.join(dup, "h")
+              .groupBy("doc_id").agg(F.collect_list("g").alias("gs")))
+    cov = F.expr(
+        f"array_distinct(flatten(transform("
+        f"coalesce(gs, cast(array() as array<int>)), "
+        f"g -> sequence(g, g + {SUBSTR_K - 1}))))")
+    cleaned = F.expr(
+        "concat_ws(' ', filter(w, (x, i) -> "
+        "NOT array_contains(cov, i + 1)))")
+    return (base.join(marked, "doc_id", "left")
+            .select("doc_id", F.size("w").alias("n_tokens"),
+                    cov.alias("cov"), "w")
+            .select("doc_id", "n_tokens",
+                    F.size("cov").alias("n_dup_tokens"),
+                    F.md5(cleaned).alias("cleaned_md5"))
+            .orderBy("doc_id"))
+
+
+SQL_SUBSTRING_DEDUP = f"""
+WITH B AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+),
+W AS (
+  SELECT doc_id, g,
+         {hash60_sql(f"array_to_string(w[g:g+{SUBSTR_K - 1}], ' ')")} AS h
+  FROM B, LATERAL (SELECT unnest(range(1, len(w) - {SUBSTR_K - 2})) AS g)
+),
+D AS (SELECT h FROM W GROUP BY h HAVING count(*) >= {SUBSTR_MIN_OCC}),
+C AS (
+  SELECT DISTINCT doc_id, p
+  FROM W, LATERAL (SELECT unnest(range(g, g + {SUBSTR_K})) AS p)
+  WHERE h IN (SELECT h FROM D)
+),
+T AS (
+  SELECT doc_id, p, w[p] AS tok
+  FROM B, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS p)
+),
+CL AS (
+  SELECT t.doc_id,
+         count(*) FILTER (WHERE c.p IS NOT NULL) AS n_dup_tokens,
+         coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+                  FILTER (WHERE c.p IS NULL), '') AS clean
+  FROM T t LEFT JOIN C c ON c.doc_id = t.doc_id AND c.p = t.p
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id, len(b.w) AS n_tokens, cl.n_dup_tokens,
+       md5(cl.clean) AS cleaned_md5
+FROM B b JOIN CL cl ON cl.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+
+LM_NLL_THRESHOLD = 3.41  # ~p90 of the synthetic corpus (measured sf0.01:
+#                          median 3.4015, p90 3.4099, max 3.6992) — flags
+#                          the unusual-token-mix tail, the CCNet use
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality filter (Wenzek et al. 2020): train a unigram
+    LM over the corpus (MLE token probabilities), score every document by
+    its mean negative log-likelihood per token (log-perplexity), and flag
+    the high-perplexity tail. CCNet scores with a pretrained KenLM 5-gram;
+    the self-trained unigram is the same plumbing with a deterministic,
+    dependency-free model — swap the probability table to change models.
+
+    Scale shape: the LM "training" is one map-side-combinable token count;
+    the total-count normalizer is a window over the already-aggregated
+    vocab-sized frame (never the corpus); scoring is a hash join on token
+    (AQE broadcasts the vocab when small — unbounded vocab stays a
+    shuffled join on the already-partitioned key) + one aggregation."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    w = Window.partitionBy(F.lit(1))
+    probs = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+             .select("tok",
+                     (F.col("cnt") / F.sum("cnt").over(w)).alias("p")))
+    return (toks.join(probs, "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tok"),
+                 round6(F.avg(-F.log("p"))).alias("avg_nll"))
+            .select("doc_id", "n_tok", "avg_nll",
+                    (F.col("avg_nll") > LM_NLL_THRESHOLD)
+                    .alias("high_perplexity"))
+            .orderBy("doc_id"))
+
+
+SQL_LM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+probs AS (
+  SELECT tok, cnt / (sum(cnt) OVER ())::DOUBLE AS p
+  FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+),
+s AS (
+  SELECT doc_id, count(*) AS n_tok,
+         {sql_round6('avg(-ln(p))')} AS avg_nll
+  FROM toks JOIN probs USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tok, avg_nll,
+       (avg_nll > {LM_NLL_THRESHOLD}) AS high_perplexity
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
+    "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .util import round6, MOD, hash60_sql, salted_mod, t
+from .util import round6, sql_round6, MOD, hash60_sql, salted_mod, t
 
 _STOPWORDS = ("a", "the", "of", "and", "in", "to")
 _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
@@ -240,8 +240,92 @@ FROM c ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.2    # Robertson/Lucene defaults
+BM25_B = 0.75
+BM25_TOPK = 20
+BM25_N_TERMS = 3  # query = the 3 most discriminative corpus terms
+#                   (document frequency closest to N/2 — max entropy),
+#                   tie-broken by token, so the query is deterministic
+#                   and derivable identically in both engines
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword search: build the inverted-index statistics (tf, df,
+    doc length, avgdl) over the corpus, score documents against a
+    deterministic 3-term query with the Lucene BM25 formula
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), and return the top-k ranked
+    hits. The rank sorts on the ROUNDED score (then doc_id) so the top-k
+    cutoff is portable across engines.
+
+    Scale shape: tf/df/dl are map-side-combinable aggregations over one
+    token explode; the query-term table is BM25_N_TERMS rows (broadcast by
+    construction); scoring touches only docs containing a query term —
+    never the full corpus — and the top-k is TakeOrderedAndProject
+    (orderBy + limit), with the rank window running over k rows only."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    pick = Window.orderBy(
+        F.abs(F.col("df") - F.col("n_docs") / 2.0), "tok")
+    terms = (dfreq.crossJoin(F.broadcast(stats))
+             .withColumn("r", F.row_number().over(pick))
+             .filter(F.col("r") <= BM25_N_TERMS)
+             .select("tok", "df", "n_docs", "avgdl"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    s = (idf * F.col("tf") * (BM25_K1 + 1.0)
+         / (F.col("tf") + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(terms), "tok")
+              .join(dl, "doc_id")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_terms_matched"),
+                   round6(F.sum(s)).alias("bm25")))
+    top = scored.orderBy(F.desc("bm25"), "doc_id").limit(BM25_TOPK)
+    rank_w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return (top.select(F.row_number().over(rank_w).alias("rank"),
+                       "doc_id", "n_terms_matched", "bm25")
+            .orderBy("rank"))
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+terms AS (
+  SELECT tok, df, n_docs, avgdl FROM dfreq, st
+  ORDER BY abs(df - n_docs / 2.0), tok LIMIT {BM25_N_TERMS}
+),
+sc AS (
+  SELECT tf.doc_id, count(*) AS n_terms_matched,
+         {sql_round6(
+             f"sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) "
+             f"* tf.tf * ({BM25_K1} + 1.0) "
+             f"/ (tf.tf + {BM25_K1} * (1.0 - {BM25_B} "
+             f"+ {BM25_B} * dl.dl / avgdl)))")} AS bm25
+  FROM tf JOIN terms USING (tok) JOIN dl ON dl.doc_id = tf.doc_id
+  GROUP BY tf.doc_id
+),
+top AS (SELECT * FROM sc ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK})
+SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank,
+       doc_id, n_terms_matched, bm25
+FROM top ORDER BY rank
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

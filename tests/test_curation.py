@@ -177,3 +177,88 @@ def test_length_quantiles_monotone(spark):
     assert (got.p10_tokens <= got.p50_tokens).all()
     assert (got.p50_tokens <= got.p90_tokens).all()
     assert (got.n_docs > 0).all()
+
+
+def _py_window_dup_cover(docs, k, min_occ):
+    """Driver-side ExactSubstr recompute: doc_id -> set of covered
+    1-based token positions."""
+    from collections import Counter
+    occ = Counter()
+    for _, row in docs.iterrows():
+        w = row.text.split(" ")
+        for g in range(len(w) - k + 1):
+            occ[" ".join(w[g:g + k])] += 1
+    cover = {}
+    for did, row in docs.iterrows():
+        w = row.text.split(" ")
+        cov = set()
+        for g in range(len(w) - k + 1):
+            if occ[" ".join(w[g:g + k])] >= min_occ:
+                cov.update(range(g + 1, g + k + 1))
+        cover[did] = cov
+    return cover
+
+
+def test_substring_dedup_semantics(spark):
+    import hashlib
+
+    from pdf_ocr_spark.relational.curation import (
+        SUBSTR_K, SUBSTR_MIN_OCC, q_substring_dedup)
+    got = q_substring_dedup(spark, SF).toPandas().set_index("doc_id")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text", F.md5("text").alias("m"))
+            .toPandas().set_index("doc_id"))
+    assert len(got) == (docs.text.str.split(" ").str.len()
+                        >= SUBSTR_K).sum()
+    assert (got.n_dup_tokens <= got.n_tokens).all()
+    # non-vacuous both ways: duplicated runs exist, clean docs exist
+    touched = got[got.n_dup_tokens > 0]
+    untouched = got[got.n_dup_tokens == 0]
+    assert len(touched) > 0 and len(untouched) > 0
+    # untouched docs rebuild byte-identical; touched must differ
+    assert (untouched.cleaned_md5 == docs.loc[untouched.index].m).all()
+    assert (touched.cleaned_md5 != docs.loc[touched.index].m).all()
+    # full driver-side recompute pins window/coverage/rebuild semantics
+    cover = _py_window_dup_cover(docs, SUBSTR_K, SUBSTR_MIN_OCC)
+    for did in list(touched.index[:3]) + list(untouched.index[:1]):
+        w = docs.loc[did].text.split(" ")
+        kept = [tok for i, tok in enumerate(w, 1)
+                if i not in cover[did]]
+        want = hashlib.md5(" ".join(kept).encode()).hexdigest()
+        assert got.loc[did].cleaned_md5 == want
+        assert got.loc[did].n_dup_tokens == len(cover[did])
+
+
+def test_substring_dedup_plan(spark):
+    from pdf_ocr_spark.relational.curation import q_substring_dedup
+    plan = _plan(q_substring_dedup(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_perplexity_semantics(spark):
+    import math
+    from collections import Counter
+
+    from pdf_ocr_spark.relational.curation import (
+        LM_NLL_THRESHOLD, q_lm_perplexity)
+    got = q_lm_perplexity(spark, SF).toPandas().set_index("doc_id")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas().set_index("doc_id"))
+    assert len(got) == len(docs)
+    assert (got.avg_nll > 0).all()
+    # the p90-ish threshold splits the corpus non-vacuously
+    assert got.high_perplexity.any() and not got.high_perplexity.all()
+    assert ((got.avg_nll > LM_NLL_THRESHOLD) == got.high_perplexity).all()
+    # driver-side unigram recompute for a flagged and an unflagged doc
+    cnt = Counter()
+    for text in docs.text:
+        cnt.update(text.split(" "))
+    total = sum(cnt.values())
+    for did in [got[got.high_perplexity].index[0],
+                got[~got.high_perplexity].index[0]]:
+        toks = docs.loc[did].text.split(" ")
+        want = sum(-math.log(cnt[x] / total) for x in toks) / len(toks)
+        assert abs(got.loc[did].avg_nll - want) < 1e-6
+        assert got.loc[did].n_tok == len(toks)

@@ -145,3 +145,25 @@ def test_binomial5_matches_float_kernel_closely():
     b = np.clip(np.rint(_sep_convolve(img, _gaussian_kernel1d(5))), 0,
                 255).astype(int)
     assert np.abs(a - b).max() <= 6
+
+
+def test_to_gray_integer_fast_path_bit_identical():
+    """The uint16 fixed-point RGB gray must equal the float64
+    rint-mean EXHAUSTIVELY (all 16.7M rgb combos) and leave
+    non-3-channel inputs on the float64 path (s/4 can tie at .5)."""
+    import numpy as np
+    from pdf_ocr_spark.kernels.binarize import _to_gray
+
+    r, g, b = np.meshgrid(np.arange(256), np.arange(256),
+                          np.arange(256), indexing="ij")
+    img = np.stack([r, g, b], axis=-1).astype(np.uint8) \
+        .reshape(256, 256 * 256, 3)
+    want = np.rint(img.astype(np.float64).mean(axis=2)).astype(np.uint8)
+    assert (_to_gray(img) == want).all()
+
+    rng = np.random.default_rng(11)
+    img4 = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
+    want4 = np.rint(img4.astype(np.float64).mean(axis=2)).astype(np.uint8)
+    assert (_to_gray(img4) == want4).all()
+    gray2d = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    assert _to_gray(gray2d) is gray2d

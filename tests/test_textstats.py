@@ -1,0 +1,78 @@
+"""BM25 search invariants + plan locks (relational/textstats.py).
+
+Value-level correctness is the DuckDB twin in test_relational_oracle.py;
+these pin the ranking semantics and the scale-shape of the plan."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pdf_ocr_spark.relational.textstats import (
+    BM25_B, BM25_K1, BM25_N_TERMS, BM25_TOPK, q_bm25_topk)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString() + \
+        df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_bm25_ranking_semantics(spark):
+    got = q_bm25_topk(spark, SF).toPandas()
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
+    assert len(got) <= BM25_TOPK and len(got) > 0
+    assert got.bm25.is_monotonic_decreasing
+    assert ((got.n_terms_matched >= 1)
+            & (got.n_terms_matched <= BM25_N_TERMS)).all()
+    # driver-side recompute of the winner's score pins the formula
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas().set_index("doc_id"))
+    token_lists = {d: t.split(" ") for d, t in docs.text.items()}
+    n_docs = len(docs)
+    avgdl = sum(len(w) for w in token_lists.values()) / n_docs
+    dfreq = {}
+    for w in token_lists.values():
+        for tok in set(w):
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+    terms = sorted(dfreq, key=lambda x: (abs(dfreq[x] - n_docs / 2.0),
+                                         x))[:BM25_N_TERMS]
+    top = got.iloc[0]
+    w = token_lists[top.doc_id]
+    want = 0.0
+    for term in terms:
+        tf = w.count(term)
+        if tf == 0:
+            continue
+        idf = math.log(1.0 + (n_docs - dfreq[term] + 0.5)
+                       / (dfreq[term] + 0.5))
+        want += idf * tf * (BM25_K1 + 1.0) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(w) / avgdl))
+    assert abs(top.bm25 - want) < 1e-6
+    # the winner's recomputed score must beat every non-listed doc's
+    # (spot check 20 other docs)
+    others = [d for d in docs.index if d not in set(got.doc_id)][:20]
+    for did in others:
+        ow = token_lists[did]
+        s = 0.0
+        for term in terms:
+            tf = ow.count(term)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n_docs - dfreq[term] + 0.5)
+                           / (dfreq[term] + 0.5))
+            s += idf * tf * (BM25_K1 + 1.0) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(ow) / avgdl))
+        # tolerance covers the rounded-vs-recomputed comparison plus
+        # doc_id tie-breaking at the cutoff
+        assert s <= got.bm25.iloc[-1] + 1e-6
+
+
+def test_bm25_plan_shape(spark):
+    """Query terms broadcast; top-k is TakeOrderedAndProject — never a
+    global sort of the scored corpus; no cartesian, no Python UDF."""
+    plan = _plan(q_bm25_topk(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
