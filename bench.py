@@ -38,6 +38,8 @@ HEADLINE_QUERIES = [
     "line_dedup", "semdedup",
     # late-r4: ExactSubstr window dedup, BM25 search, LM perplexity filter
     "substring_dedup", "bm25_topk", "lm_perplexity",
+    # late-r4: DSIR hashed-ngram importance weights
+    "dsir_weights",
 ]
 
 
@@ -161,7 +163,8 @@ def main() -> None:
     r4_added = {"dedup_ngram_jaccard", "dedup_simhash_hamming",
                 "dedup_clusters", "contamination_check",
                 "repetition_stats", "line_dedup", "semdedup",
-                "substring_dedup", "bm25_topk", "lm_perplexity"}
+                "substring_dedup", "bm25_topk", "lm_perplexity",
+                "dsir_weights"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

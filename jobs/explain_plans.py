@@ -38,6 +38,8 @@ CHECKS = {
     "substring_dedup": ["HashAggregate"],
     # 3-row query-term table broadcast; top-k never globally sorts
     "bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # one-pass hashed-feature counts; broadcast-sized ratio join
+    "dsir_weights": ["HashAggregate"],
 }
 
 
@@ -170,12 +172,20 @@ def main() -> None:
             "the top-k is TakeOrderedAndProject — the scored corpus is "
             "never globally sorted, and the rank window runs over k "
             "rows post-limit.",
+        "dsir_weights":
+            "DSIR importance weights: raw and target feature counts "
+            "come out of ONE map-side-combinable aggregation (the "
+            "target side is a FILTER of the same scan, not a second "
+            "pass); the log-ratio table is <= DSIR_B rows, so the "
+            "scoring join broadcasts; the per-doc mean is one more "
+            "combinable agg. No UDF, no cartesian — at 100 TB the "
+            "explode dominates and everything combines map-side.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "dedup_ngram_jaccard", "reading_order", "corpus_pack",
                  "contamination_check", "line_dedup", "semdedup",
-                 "substring_dedup", "bm25_topk"):
+                 "substring_dedup", "bm25_topk", "dsir_weights"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the

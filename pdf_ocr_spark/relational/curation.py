@@ -595,8 +595,101 @@ FROM s ORDER BY doc_id
 """
 
 
+DSIR_B = 1024        # hashed feature buckets. Xie et al. 2023 ("Data
+#                      Selection for Language Models via Importance
+#                      Resampling") use 10k buckets over unigrams+bigrams;
+#                      1024 matches this corpus's vocab scale — same op
+DSIR_TARGET_SOURCE = "src0"  # in-domain proxy: one source plays the
+#                      target corpus. Production passes a real target
+#                      sample; the estimator below is source-agnostic
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document by
+    how much more likely its hashed unigram+bigram features are under the
+    target-domain LM than under the raw-corpus LM — the log importance
+    ratio, length-normalized (mean over the doc's feature occurrences),
+    with add-one smoothing over the DSIR_B hashed buckets. Docs with
+    positive mean log-ratio look target-like (``in_domain``); production
+    resamples with these weights, which is `stratified_sample` plumbing.
+
+    Scale shape: feature counts are one map-side-combinable aggregation
+    over the gram explode (the target side is a FILTER of the same scan,
+    counted in the same agg — one pass, not two); the log-ratio table is
+    at most DSIR_B rows, so the scoring join broadcasts; the per-doc
+    score is one more combinable aggregation. No UDF, no cartesian."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", "source", F.split("text", " ").alias("w"))
+    # unigrams + bigrams, guarded so 1-token docs never hit Spark's
+    # descending sequence(1, 0) == [1, 0]
+    grams_expr = (
+        "CASE WHEN size(w) < 2 THEN w ELSE concat(w, "
+        "transform(sequence(1, size(w) - 1), "
+        "g -> concat_ws(' ', element_at(w, g), element_at(w, g + 1)))) "
+        "END")
+    feats = (base.select("doc_id", "source",
+                         F.explode(F.expr(grams_expr)).alias("gram"))
+             .select("doc_id", "source",
+                     F.pmod(hash60("gram"), F.lit(DSIR_B)).alias("f")))
+    cnts = (feats.groupBy("f")
+            .agg(F.count("*").alias("cr"),
+                 F.count(F.when(F.col("source") == DSIR_TARGET_SOURCE,
+                                True)).alias("ct")))
+    w = Window.partitionBy(F.lit(1))
+    ratio = cnts.select(
+        "f",
+        (F.log((F.col("ct") + 1.0)
+               / (F.sum("ct").over(w) + float(DSIR_B)))
+         - F.log((F.col("cr") + 1.0)
+                 / (F.sum("cr").over(w) + float(DSIR_B)))).alias("lr"))
+    return (feats.join(ratio, "f")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_feats"),
+                 round6(F.avg("lr")).alias("avg_logratio"))
+            .select("doc_id", "n_feats", "avg_logratio",
+                    (F.col("avg_logratio") > 0.0).alias("in_domain"))
+            .orderBy("doc_id"))
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH B AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+G AS (
+  SELECT doc_id, source, gram
+  FROM B, LATERAL (SELECT unnest(
+    CASE WHEN len(w) < 2 THEN w ELSE list_concat(w,
+      list_transform(range(1, len(w)), g -> w[g] || ' ' || w[g + 1]))
+    END) AS gram)
+),
+FT AS (
+  SELECT doc_id, source, ({hash60_sql('gram')} % {DSIR_B}) AS f FROM G
+),
+C AS (
+  SELECT f, count(*) AS cr,
+         count(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS ct
+  FROM FT GROUP BY f
+),
+R AS (
+  SELECT f,
+         ln((ct + 1.0) / (sum(ct) OVER () + {DSIR_B}.0))
+         - ln((cr + 1.0) / (sum(cr) OVER () + {DSIR_B}.0)) AS lr
+  FROM C
+),
+S AS (
+  SELECT doc_id, count(*) AS n_feats,
+         {sql_round6('avg(lr)')} AS avg_logratio
+  FROM FT JOIN R USING (f) GROUP BY doc_id
+)
+SELECT doc_id, n_feats, avg_logratio, (avg_logratio > 0.0) AS in_domain
+FROM S ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),

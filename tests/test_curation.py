@@ -262,3 +262,59 @@ def test_lm_perplexity_semantics(spark):
         want = sum(-math.log(cnt[x] / total) for x in toks) / len(toks)
         assert abs(got.loc[did].avg_nll - want) < 1e-6
         assert got.loc[did].n_tok == len(toks)
+
+
+def test_dsir_weights_semantics(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from pdf_ocr_spark.relational.curation import (
+        DSIR_B, DSIR_TARGET_SOURCE, q_dsir_weights)
+    got = q_dsir_weights(spark, SF).toPandas().set_index("doc_id")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source", "text")
+            .toPandas().set_index("doc_id"))
+    assert len(got) == len(docs)
+    assert ((got.avg_logratio > 0.0) == got.in_domain).all()
+    # signal direction: target-source docs must score higher on their own
+    # feature distribution than the rest of the corpus does
+    tgt = docs.index[docs.source == DSIR_TARGET_SOURCE]
+    oth = docs.index[docs.source != DSIR_TARGET_SOURCE]
+    assert got.loc[tgt].avg_logratio.mean() > \
+        got.loc[oth].avg_logratio.mean()
+    assert got.loc[tgt].in_domain.mean() > got.loc[oth].in_domain.mean()
+
+    # full driver-side recompute pins the feature hashing, smoothing and
+    # the mean-log-ratio estimator
+    def feats(text):
+        w = text.split(" ")
+        grams = list(w)
+        if len(w) >= 2:
+            grams += [f"{a} {b}" for a, b in zip(w, w[1:])]
+        return [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % DSIR_B
+                for g in grams]
+
+    cr, ct = Counter(), Counter()
+    for did, row in docs.iterrows():
+        fs = feats(row.text)
+        cr.update(fs)
+        if row.source == DSIR_TARGET_SOURCE:
+            ct.update(fs)
+    tot_r, tot_t = sum(cr.values()), sum(ct.values())
+    for did in [tgt[0], oth[0], oth[1]]:
+        fs = feats(docs.loc[did].text)
+        want = sum(
+            math.log((ct[f] + 1.0) / (tot_t + DSIR_B))
+            - math.log((cr[f] + 1.0) / (tot_r + DSIR_B)) for f in fs
+        ) / len(fs)
+        assert abs(got.loc[did].avg_logratio - want) < 1e-6
+        assert got.loc[did].n_feats == len(fs)
+
+
+def test_dsir_weights_plan(spark):
+    from pdf_ocr_spark.relational.curation import q_dsir_weights
+    plan = _plan(q_dsir_weights(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
