@@ -38,8 +38,9 @@ HEADLINE_QUERIES = [
     "line_dedup", "semdedup",
     # late-r4: ExactSubstr window dedup, BM25 search, LM perplexity filter
     "substring_dedup", "bm25_topk", "lm_perplexity",
-    # late-r4: DSIR hashed-ngram importance weights
-    "dsir_weights",
+    # late-r4: DSIR hashed-ngram importance weights, MinHash corpus
+    # overlap matrix, TF-IDF keyword extraction
+    "dsir_weights", "corpus_similarity", "tfidf_top_terms",
 ]
 
 
@@ -164,7 +165,7 @@ def main() -> None:
                 "dedup_clusters", "contamination_check",
                 "repetition_stats", "line_dedup", "semdedup",
                 "substring_dedup", "bm25_topk", "lm_perplexity",
-                "dsir_weights"}
+                "dsir_weights", "corpus_similarity", "tfidf_top_terms"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

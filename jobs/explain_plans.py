@@ -40,6 +40,8 @@ CHECKS = {
     "bm25_topk": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     # one-pass hashed-feature counts; broadcast-sized ratio join
     "dsir_weights": ["HashAggregate"],
+    # signature is a partial min-agg; pairing is broadcast over sources
+    "corpus_similarity": ["partial_min", "BroadcastNestedLoopJoin"],
 }
 
 
@@ -180,12 +182,21 @@ def main() -> None:
             "scoring join broadcasts; the per-doc mean is one more "
             "combinable agg. No UDF, no cartesian — at 100 TB the "
             "explode dominates and everything combines map-side.",
+        "corpus_similarity":
+            "Corpus-overlap sketch: the per-source MinHash signature "
+            "is a partial (map-side) min-aggregation over the shingle "
+            "explode, so 100 TB of text reduces to sources x 64 ints "
+            "before anything shuffles; the only nested-loop join is "
+            "the broadcast self-pairing of that signature table "
+            "(n_sources rows, bounded by the domain/snapshot count) — "
+            "the corpus-sized side never cross-joins.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "dedup_ngram_jaccard", "reading_order", "corpus_pack",
                  "contamination_check", "line_dedup", "semdedup",
-                 "substring_dedup", "bm25_topk", "dsir_weights"):
+                 "substring_dedup", "bm25_topk", "dsir_weights",
+                 "corpus_similarity"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the

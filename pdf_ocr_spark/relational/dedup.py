@@ -799,7 +799,80 @@ FROM clusters ORDER BY doc_id
 SQL_DEDUP_CLUSTERS = make_cluster_sql()
 
 
+def q_corpus_similarity(spark, sf_dir,
+                        n_hashes: int = MINHASH_N_HASHES):
+    """Corpus-overlap matrix from MinHash sketches: one 64-component
+    MinHash signature PER SOURCE over the union of its documents' word
+    3-gram shingles, then the pairwise Jaccard estimate between sources
+    is the fraction of matching signature components (the classic
+    Broder estimator). The training-data use: quantify shingle-level
+    overlap between corpus mixtures (e.g. two crawl snapshots, or a
+    candidate source vs what is already in the mix) WITHOUT ever joining
+    their contents.
+
+    Scale shape: the signature is a map-side-combinable min-aggregation
+    over the shingle explode — 100 TB of text reduces to n_sources x
+    n_hashes integers before anything shuffles; min() is insensitive to
+    duplicate shingles, so no distinct is needed. The pairwise stage is
+    a broadcast cross join over the signature table (n_sources rows —
+    sources are domains/snapshots, bounded in the thousands; its cost
+    is n_sources^2 comparisons of 64 ints, independent of corpus
+    bytes)."""
+    d = t(spark, sf_dir, "documents")
+    sh = (d.select("source", F.split("text", " ").alias("w"))
+          .filter(F.size("w") >= 3)
+          .select("source", F.explode(F.expr(_SHINGLE_EXPR)).alias("s")))
+    hashed = sh.select(
+        "source",
+        ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+          .cast("long")) % MOD).alias("h2"))
+    sigs = (hashed.groupBy("source").agg(*_sig_cols(n_hashes))
+            .select("source", F.array(*[f"sig{j}"
+                                        for j in range(n_hashes)])
+                    .alias("sig")))
+    a = sigs.select(F.col("source").alias("source_a"),
+                    F.col("sig").alias("sa"))
+    b = sigs.select(F.col("source").alias("source_b"),
+                    F.col("sig").alias("sb"))
+    n_match = F.expr(
+        "size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
+    return (a.crossJoin(F.broadcast(b))
+            .filter(F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b",
+                    n_match.cast("long").alias("n_match"),
+                    round6(n_match / F.lit(float(n_hashes)))
+                    .alias("jaccard_est"))
+            .orderBy("source_a", "source_b"))
+
+
+def make_corpus_similarity_sql(
+        n_hashes: int = MINHASH_N_HASHES) -> str:
+    """DuckDB oracle twin of q_corpus_similarity (same estimator over
+    the same signature integers)."""
+    match_expr = " + ".join(
+        f"CASE WHEN a.sig{j} = b.sig{j} THEN 1 ELSE 0 END"
+        for j in range(n_hashes))
+    return f"""
+WITH sh AS (
+  SELECT source, unnest({_SHINGLE_SQL}) AS s
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+hashed AS (SELECT source, ({hash60_sql('s')} % {MOD}) AS h2 FROM sh),
+sigs AS (SELECT source, {_sig_sql(n_hashes)} FROM hashed GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       ({match_expr})::BIGINT AS n_match,
+       {sql_round6(f'({match_expr}) / {n_hashes}.0')} AS jaccard_est
+FROM sigs a JOIN sigs b ON a.source < b.source
+ORDER BY source_a, source_b
+"""
+
+
+SQL_CORPUS_SIMILARITY = make_corpus_similarity_sql()
+
+
 QUERIES = {
+    "corpus_similarity": (q_corpus_similarity, SQL_CORPUS_SIMILARITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard,

@@ -323,9 +323,65 @@ FROM top ORDER BY rank
 """
 
 
+TFIDF_TOP_N = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-N TF-IDF terms (keyword extraction): tf * ln(N/df)
+    with the rank taken over the ROUNDED score (then term) so the cutoff
+    is portable across engines. Terms present in every document score
+    exactly 0 and never displace informative terms.
+
+    Scale shape: tf and df are map-side-combinable aggregations over one
+    token explode; the (n_docs) scalar is broadcast by construction; the
+    rank window partitions by doc_id — per-document state, never a
+    global sort. At 100 TB this is one explode + two combinable aggs +
+    one doc-partitioned window."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(dfreq, "tok").crossJoin(F.broadcast(nd))
+              .select("doc_id", F.col("tok").alias("term"),
+                      round6(F.col("tf")
+                             * F.log(F.col("n_docs") / F.col("df")))
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP_N)
+            .select("doc_id", "rank", "term", "tfidf")
+            .orderBy("doc_id", "rank"))
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT doc_id, tok AS term,
+         {sql_round6('tf * ln(n_docs::DOUBLE / df)')} AS tfidf
+  FROM tf JOIN dfreq USING (tok), nd
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM sc
+)
+SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= {TFIDF_TOP_N}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -533,3 +533,56 @@ def test_ngram_jaccard_counts_shared_stopworded_shingles(spark,
            for r in q_dedup_ngram_jaccard(
                spark, str(tmp_path), maxdf=2).collect()}
     assert got == want
+
+
+def test_corpus_similarity_estimator(spark):
+    """The source-pair MinHash estimate must (a) reproduce a driver-side
+    signature recompute exactly and (b) track true shingle Jaccard within
+    the sketch's standard error on the real corpus."""
+    import hashlib
+
+    from pdf_ocr_spark.relational.dedup import q_corpus_similarity
+    from pdf_ocr_spark.relational.util import (
+        MINHASH_A, MINHASH_B, MINHASH_N_HASHES, MOD)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_corpus_similarity(spark, sf).toPandas()
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("source", "text").toPandas())
+    shingles = {}
+    for _, row in docs.iterrows():
+        w = row.text.split(" ")
+        if len(w) < 3:
+            continue
+        shingles.setdefault(row.source, set()).update(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    n_src = len(shingles)
+    assert len(got) == n_src * (n_src - 1) // 2
+
+    def sig(ss):
+        hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MOD
+              for s in ss]
+        return [min((a * h + b) % MOD for h in hs)
+                for a, b in zip(MINHASH_A[:MINHASH_N_HASHES],
+                                MINHASH_B[:MINHASH_N_HASHES])]
+
+    sigs = {s: sig(ss) for s, ss in shingles.items()}
+    for _, row in got.head(8).iterrows():
+        n_match = sum(x == y for x, y in zip(sigs[row.source_a],
+                                             sigs[row.source_b]))
+        assert row.n_match == n_match
+        a, b = shingles[row.source_a], shingles[row.source_b]
+        true_j = len(a & b) / len(a | b)
+        # 64-hash sketch: se = sqrt(J(1-J)/64) <= 0.0625; allow 4 se
+        assert abs(row.jaccard_est - true_j) <= 0.25
+
+
+def test_corpus_similarity_plan(spark):
+    """The only cross join is the broadcast signature self-pairing; the
+    corpus-sized side never cross-joins and no Python UDF appears."""
+    from pdf_ocr_spark.relational.dedup import q_corpus_similarity
+    df = q_corpus_similarity(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # signature aggregation must be partial (map-side combine)
+    assert "partial_min" in plan

@@ -76,3 +76,47 @@ def test_bm25_plan_shape(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_top_terms_semantics(spark):
+    from pdf_ocr_spark.relational.textstats import (
+        TFIDF_TOP_N, q_tfidf_top_terms)
+    got = q_tfidf_top_terms(spark, SF).toPandas()
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas().set_index("doc_id"))
+    assert set(got.doc_id) == set(docs.index)
+    assert ((got["rank"] >= 1) & (got["rank"] <= TFIDF_TOP_N)).all()
+    # per-doc ranks are 1..k with scores non-increasing
+    for did, grp in got.groupby("doc_id"):
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp.tfidf.is_monotonic_decreasing or len(grp) == 1
+    # driver-side recompute for 3 docs pins tf * ln(N/df) + the cutoff
+    token_lists = {d: t.split(" ") for d, t in docs.text.items()}
+    n_docs = len(docs)
+    dfreq = {}
+    for w in token_lists.values():
+        for tok in set(w):
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+
+    def round6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for did in list(docs.index)[:3]:
+        w = token_lists[did]
+        scores = sorted(
+            ((round6(w.count(tok) * math.log(n_docs / dfreq[tok])), tok)
+             for tok in set(w)),
+            key=lambda st: (-st[0], st[1]))[:TFIDF_TOP_N]
+        mine = got[got.doc_id == did].sort_values("rank")
+        assert list(mine.term) == [tok for _, tok in scores]
+        for (s, _), g in zip(scores, mine.tfidf):
+            assert abs(s - g) < 1e-9
+
+
+def test_tfidf_plan_shape(spark):
+    """df-scalar broadcast; rank window partitioned by doc_id (no global
+    sort of the scored terms); no cartesian blowup, no Python UDF."""
+    from pdf_ocr_spark.relational.textstats import q_tfidf_top_terms
+    plan = _plan(q_tfidf_top_terms(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
