@@ -41,6 +41,7 @@ HEADLINE_QUERIES = [
     # late-r4: DSIR hashed-ngram importance weights, MinHash corpus
     # overlap matrix, TF-IDF keyword extraction
     "dsir_weights", "corpus_similarity", "tfidf_top_terms",
+    "cardinality_estimate",
 ]
 
 
@@ -165,7 +166,8 @@ def main() -> None:
                 "dedup_clusters", "contamination_check",
                 "repetition_stats", "line_dedup", "semdedup",
                 "substring_dedup", "bm25_topk", "lm_perplexity",
-                "dsir_weights", "corpus_similarity", "tfidf_top_terms"}
+                "dsir_weights", "corpus_similarity", "tfidf_top_terms",
+                "cardinality_estimate"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

@@ -42,6 +42,8 @@ CHECKS = {
     "dsir_weights": ["HashAggregate"],
     # signature is a partial min-agg; pairing is broadcast over sources
     "corpus_similarity": ["partial_min", "BroadcastNestedLoopJoin"],
+    # the sketch path is the same partial min-agg
+    "cardinality_estimate": ["partial_min"],
 }
 
 
@@ -190,13 +192,20 @@ def main() -> None:
             "the broadcast self-pairing of that signature table "
             "(n_sources rows, bounded by the domain/snapshot count) — "
             "the corpus-sized side never cross-joins.",
+        "cardinality_estimate":
+            "MinCount cardinality sketch: the estimate comes from the "
+            "same partial min-aggregation as the MinHash signatures — "
+            "no count-distinct shuffle on the sketch path. The exact "
+            "count(distinct) in this query exists only to exhibit the "
+            "estimator's error at gate scale; the production call "
+            "drops it and the whole op is one map-side-combinable agg.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "dedup_ngram_jaccard", "reading_order", "corpus_pack",
                  "contamination_check", "line_dedup", "semdedup",
                  "substring_dedup", "bm25_topk", "dsir_weights",
-                 "corpus_similarity"):
+                 "corpus_similarity", "cardinality_estimate"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the

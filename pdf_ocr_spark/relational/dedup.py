@@ -871,7 +871,79 @@ ORDER BY source_a, source_b
 SQL_CORPUS_SIMILARITY = make_corpus_similarity_sql()
 
 
+def q_cardinality_estimate(spark, sf_dir,
+                           n_mins: int = MINHASH_N_HASHES):
+    """Distinct-shingle cardinality per source from the same MinHash
+    permutation mins the dedup/overlap sketches keep, via the MinCount
+    estimator: each perm's min over D distinct uniform values in
+    [0, MOD) has expectation ~MOD/(D+1), so D_hat = R*MOD/sum(mins) - 1
+    (relative error ~1/sqrt(R) = 12.5% at R=64). This is the capacity
+    number MinHash-LSH planning needs (band-bucket sizing is a function
+    of distinct-shingle counts), estimated WITHOUT a count-distinct
+    shuffle; the exact count rides along here only to exhibit the
+    estimator's error at gate scale.
+
+    Scale shape: the sketch is the same map-side-combinable
+    min-aggregation as corpus_similarity — 100 TB reduces to
+    n_sources x R integers. The exact count(distinct) is the one
+    expensive agg in this query and exists for comparison only; the
+    production call drops it. The 60-bit->MOD hash space
+    birthday-saturates near 10^9 distinct shingles — widen MOD (the
+    perms are mod-prime bijections at any width) past that."""
+    d = t(spark, sf_dir, "documents")
+    sh = (d.select("source", F.split("text", " ").alias("w"))
+          .filter(F.size("w") >= 3)
+          .select("source", F.explode(F.expr(_SHINGLE_EXPR)).alias("s")))
+    hashed = sh.select(
+        "source", "s",
+        ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
+          .cast("long")) % MOD).alias("h2"))
+    m = hashed.groupBy("source").agg(
+        F.countDistinct("s").alias("n_distinct"), *_sig_cols(n_mins))
+    total = None
+    for j in range(n_mins):
+        c = F.col(f"sig{j}")
+        total = c if total is None else total + c
+    est = (F.lit(float(n_mins) * MOD) / total.cast("double") - 1.0)
+    return (m.select(
+        "source", "n_distinct", round6(est).alias("estimate"),
+        round6(F.abs(est - F.col("n_distinct")) / F.col("n_distinct"))
+        .alias("rel_error"))
+        .orderBy("source"))
+
+
+def make_cardinality_estimate_sql(
+        n_mins: int = MINHASH_N_HASHES) -> str:
+    """DuckDB oracle twin of q_cardinality_estimate (identical mins,
+    identical double arithmetic)."""
+    total = " + ".join(f"sig{j}" for j in range(n_mins))
+    est = f"({float(n_mins) * MOD!r} / ({total})::DOUBLE - 1.0)"
+    return f"""
+WITH sh AS (
+  SELECT source, unnest({_SHINGLE_SQL}) AS s
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+),
+hashed AS (
+  SELECT source, s, ({hash60_sql('s')} % {MOD}) AS h2 FROM sh
+),
+m AS (
+  SELECT source, count(DISTINCT s) AS n_distinct, {_sig_sql(n_mins)}
+  FROM hashed GROUP BY source
+)
+SELECT source, n_distinct,
+       {sql_round6(est)} AS estimate,
+       {sql_round6(f'abs({est} - n_distinct) / n_distinct')} AS rel_error
+FROM m ORDER BY source
+"""
+
+
+SQL_CARDINALITY_ESTIMATE = make_cardinality_estimate_sql()
+
+
 QUERIES = {
+    "cardinality_estimate": (q_cardinality_estimate,
+                             SQL_CARDINALITY_ESTIMATE),
     "corpus_similarity": (q_corpus_similarity, SQL_CORPUS_SIMILARITY),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_dedup_minhash, SQL_DEDUP_MINHASH),

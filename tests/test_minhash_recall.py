@@ -586,3 +586,38 @@ def test_corpus_similarity_plan(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # signature aggregation must be partial (map-side combine)
     assert "partial_min" in plan
+
+
+def test_cardinality_estimate(spark):
+    """MinCount estimator: exact counts pinned against a driver-side
+    recompute; the R=64 estimate must land within 4x its ~12.5%
+    standard error on every source."""
+    from pdf_ocr_spark.relational.dedup import q_cardinality_estimate
+
+    sf = "/root/testdata/sf0.001"
+    got = q_cardinality_estimate(spark, sf).toPandas()
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("source", "text").toPandas())
+    exact = {}
+    for _, row in docs.iterrows():
+        w = row.text.split(" ")
+        if len(w) < 3:
+            continue
+        exact.setdefault(row.source, set()).update(
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2))
+    assert len(got) == len(exact)
+    for _, r in got.iterrows():
+        assert r.n_distinct == len(exact[r.source])
+        assert r.rel_error <= 0.5
+        assert abs(r.estimate - r.n_distinct) / r.n_distinct \
+            == pytest.approx(r.rel_error, abs=1e-6)
+
+
+def test_cardinality_estimate_plan(spark):
+    """The sketch must be a partial (map-side) min-agg with no Python
+    UDF; the exact count rides in the same aggregate."""
+    from pdf_ocr_spark.relational.dedup import q_cardinality_estimate
+    df = q_cardinality_estimate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
