@@ -554,18 +554,18 @@ def q_lm_perplexity(spark, sf_dir):
     dependency-free model — swap the probability table to change models.
 
     Scale shape: the LM "training" is one map-side-combinable token count;
-    the total-count normalizer is a window over the already-aggregated
-    vocab-sized frame (never the corpus); scoring is a hash join on token
-    (AQE broadcasts the vocab when small — unbounded vocab stays a
-    shuffled join on the already-partitioned key) + one aggregation."""
-    from pyspark.sql.window import Window
+    the total-count normalizer is a one-row scalar aggregate broadcast
+    onto the vocab frame (a single-partition window here would funnel an
+    unbounded vocab through one task at 100 TB); scoring is a hash join
+    on token (AQE broadcasts the vocab when small — unbounded vocab stays
+    a shuffled join on the already-partitioned key) + one aggregation."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    w = Window.partitionBy(F.lit(1))
+    total = toks.agg(F.count("*").alias("tot"))
     probs = (toks.groupBy("tok").agg(F.count("*").alias("cnt"))
-             .select("tok",
-                     (F.col("cnt") / F.sum("cnt").over(w)).alias("p")))
+             .crossJoin(F.broadcast(total))
+             .select("tok", (F.col("cnt") / F.col("tot")).alias("p")))
     return (toks.join(probs, "tok")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_tok"),
