@@ -271,11 +271,12 @@ def q_bm25_topk(spark, sf_dir):
     stats = dl.agg(F.count("*").alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    pick = Window.orderBy(
-        F.abs(F.col("df") - F.col("n_docs") / 2.0), "tok")
+    # orderBy+limit plans as TakeOrderedAndProject (per-partition top-N
+    # then a 3-row merge) — a row_number window here would funnel the
+    # whole vocab through one task
     terms = (dfreq.crossJoin(F.broadcast(stats))
-             .withColumn("r", F.row_number().over(pick))
-             .filter(F.col("r") <= BM25_N_TERMS)
+             .orderBy(F.abs(F.col("df") - F.col("n_docs") / 2.0), "tok")
+             .limit(BM25_N_TERMS)
              .select("tok", "df", "n_docs", "avgdl"))
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
