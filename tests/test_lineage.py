@@ -17,7 +17,12 @@ from pdf_ocr_spark.pipeline import (
 def duplicated_payload_fixture(tmp_path_factory):
     """One PDF payload referenced by 30 turns + 5 distinct payloads."""
     from pdf_ocr_spark.fixtures import _pdf_payload
-    rng = random.Random(42)
+    # test-unique seed: the shared-seed-42 fixture family can produce
+    # byte-identical payloads across tests, and the per-worker payload
+    # cache persists for the session — a reused worker would then serve
+    # this run's decode from cache (hits > 0, no row charged) and flake
+    # the attribution asserts depending on task placement
+    rng = random.Random(0xD11D)
     dup = _pdf_payload(rng, "text")
     others = [_pdf_payload(rng, "text") for _ in range(5)]
     rows = {"conv_id": [], "turn_idx": [], "text": []}
