@@ -250,15 +250,24 @@ def main() -> None:
             + "\n".join(sections))
     print(f"wrote {out}")
 
-    # sanity: expected operators present
+    # sanity: expected operators present IN THE NAMED OP'S OWN SECTION —
+    # needles like HashAggregate appear in almost every section, so a
+    # whole-file search would be vacuously green after a plan regression
     text = open(out).read()
     missing = []
     for name, needles in CHECKS.items():
+        header = f"## {name}\n"
+        if header not in text:
+            continue
+        body = text.split(header, 1)[1]
+        nxt = body.find("\n## ")
+        section = body if nxt == -1 else body[:nxt]
         for n in needles:
-            if f"## {name}" in text and n not in text:
+            if n not in section:
                 missing.append((name, n))
     if missing:
         print("WARNING: expected plan features missing:", missing)
+        raise SystemExit(1)
     spark.stop()
 
 

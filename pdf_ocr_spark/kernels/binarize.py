@@ -11,20 +11,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def _to_gray(img: np.ndarray) -> np.ndarray:
+def to_gray(img: np.ndarray) -> np.ndarray:
     """Channel-mean gray, bit-identical to
-    ``rint(img.astype(float64).mean(axis=2))``.
+    ``rint(img.astype(float64).mean(axis=2))``. Public: the OCR engine's
+    hot path depends on this exact contract.
 
-    RGB fast path in uint16 fixed point: with s = r+g+b, s/3 has
+    uint8-RGB fast path in uint16 fixed point: with s = r+g+b, s/3 has
     fractional part in {0, 1/3, 2/3} — never an exact .5 tie — so
     round-half-even == floor(s/3 + 1/2) == (2s+3)//6 exactly. This
     avoids a 24-byte/px float64 temporary on a page-sized image; the
     decode stage is DRAM-bandwidth-bound at high parallelism (measured:
-    per-worker throughput -18% at 8 concurrent decoders). Non-3-channel
-    inputs (s/4 CAN tie at .5, where rint rounds to even) keep the
-    float64 path."""
+    per-worker throughput -18% at 8 concurrent decoders). Everything
+    else keeps the float64 path: non-uint8 dtypes would be truncated or
+    wrapped by the uint16 sum, and 4-channel sums (s/4) CAN tie at .5,
+    where rint rounds to even."""
     if img.ndim == 3:
-        if img.shape[2] == 3:
+        if img.shape[2] == 3 and img.dtype == np.uint8:
             s = np.add.reduce(img, axis=2, dtype=np.uint16)
             return ((2 * s + 3) // 6).astype(np.uint8)
         return np.rint(img.astype(np.float64).mean(axis=2)).astype(np.uint8)
@@ -49,7 +51,7 @@ def _box_mean(f: np.ndarray, win: int) -> np.ndarray:
 
 def simple_binarize(img: np.ndarray, threshold: int = 127) -> np.ndarray:
     """Global threshold (reference binarize.py:18-41)."""
-    g = _to_gray(img)
+    g = to_gray(img)
     return np.where(g > threshold, 255, 0).astype(np.uint8)
 
 
@@ -67,7 +69,7 @@ def otsu_threshold(gray: np.ndarray) -> int:
 
 def otsu_binarize(img: np.ndarray) -> np.ndarray:
     """Otsu global threshold (reference binarize.py:44-68)."""
-    g = _to_gray(img)
+    g = to_gray(img)
     return np.where(g > otsu_threshold(g), 255, 0).astype(np.uint8)
 
 
@@ -78,7 +80,7 @@ def adaptive_binarize(img: np.ndarray, method: str = "gaussian",
     The gaussian variant uses a box-mean approximation of the gaussian
     window — documented simplification (no cv2.getGaussianKernel here).
     """
-    g = _to_gray(img).astype(np.float64)
+    g = to_gray(img).astype(np.float64)
     local = _box_mean(g, block)
     return np.where(g > local - c, 255, 0).astype(np.uint8)
 
@@ -86,7 +88,7 @@ def adaptive_binarize(img: np.ndarray, method: str = "gaussian",
 def sauvola_binarize(img: np.ndarray, window: int = 25, k: float = 0.5,
                      r: float = 128.0) -> np.ndarray:
     """Sauvola local threshold via box filters (reference binarize.py:116-149)."""
-    g = _to_gray(img).astype(np.float64)
+    g = to_gray(img).astype(np.float64)
     mean = _box_mean(g, window)
     sq_mean = _box_mean(g ** 2, window)
     std = np.sqrt(np.maximum(sq_mean - mean ** 2, 0))

@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from .. import fonts
-from ..kernels.binarize import _to_gray, otsu_threshold
+from ..kernels.binarize import otsu_threshold, to_gray
 
 
 @dataclass
@@ -97,9 +97,9 @@ class DeterministicOCREngine:
 
     def recognize(self, image: np.ndarray, page_num: int = 0) -> OCRResult:
         # integer fixed-point gray (bit-identical to the float64 rint
-        # mean — see _to_gray): skips the 24-byte/px float64 temporary
+        # mean — see to_gray): skips the 24-byte/px float64 temporary
         # that made this the second-largest DRAM pass in the decode
-        gray = _to_gray(image)
+        gray = to_gray(image)
         thr = otsu_threshold(gray)
         ink = gray <= thr
         # a near-blank page: otsu on flat histogram marks everything ink

@@ -464,7 +464,9 @@ def q_substring_dedup(spark, sf_dir):
     run of SUBSTR_K tokens that occurs >= SUBSTR_MIN_OCC times corpus-wide
     is removed from every document; overlapping duplicated windows merge
     into spans (union of covered token positions). Returns per-doc token /
-    duplicated-token counts plus the md5 of the cleaned text.
+    duplicated-token counts plus the md5 of the cleaned text — one row
+    per document, including docs shorter than SUBSTR_K tokens (they
+    contain no K-window by definition and pass through unchanged).
 
     The reference paper builds a suffix array; the Spark-native shape is a
     sliding-window hash join — same semantics at fixed K.
@@ -476,12 +478,14 @@ def q_substring_dedup(spark, sf_dir):
     position union and token rebuild are in-row array expressions inside
     one groupBy — no global window, no Python UDF, no cartesian."""
     d = t(spark, sf_dir, "documents")
-    base = (d.select("doc_id", F.split("text", " ").alias("w"))
-            .filter(F.size("w") >= SUBSTR_K))
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    # windows only exist for docs with >= K tokens; shorter docs carry no
+    # duplicated window BY DEFINITION and pass through unchanged below
+    eligible = base.filter(F.size("w") >= SUBSTR_K)
     wins_expr = (
         f"transform(sequence(1, size(w) - {SUBSTR_K - 1}), "
         f"g -> concat_ws(' ', slice(w, g, {SUBSTR_K})))")
-    wins = (base.select(
+    wins = (eligible.select(
         "doc_id", F.posexplode(F.expr(wins_expr)).alias("p0", "gram"))
         .select("doc_id", (F.col("p0") + 1).alias("g"),
                 hash60("gram").alias("h")))
@@ -508,12 +512,12 @@ def q_substring_dedup(spark, sf_dir):
 SQL_SUBSTRING_DEDUP = f"""
 WITH B AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-  WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
 ),
 W AS (
   SELECT doc_id, g,
          {hash60_sql(f"array_to_string(w[g:g+{SUBSTR_K - 1}], ' ')")} AS h
   FROM B, LATERAL (SELECT unnest(range(1, len(w) - {SUBSTR_K - 2})) AS g)
+  WHERE len(w) >= {SUBSTR_K}
 ),
 D AS (SELECT h FROM W GROUP BY h HAVING count(*) >= {SUBSTR_MIN_OCC}),
 C AS (

@@ -28,11 +28,26 @@ _SHINGLE_SQL = (
 )
 
 
-def _shingles_of(docs):
-    return (docs.select("doc_id", F.split("text", " ").alias("w"))
+def _hash_mod_expr(col: str = "s") -> F.Column:
+    """The portable MinHash-perm input hash: 60-bit md5 reduced % MOD.
+    ONE definition feeds banding, the corpus sketches and the
+    cardinality estimator — the DuckDB twins replicate it via
+    hash60_sql, and the oracle gate depends on all sites staying
+    bit-identical."""
+    return (F.conv(F.substring(F.md5(F.col(col)), 1, 15), 16, 10)
+            .cast("long")) % MOD
+
+
+def _keyed_shingles(docs, key: str):
+    """(key, s) word-3-gram shingle explode keyed by an arbitrary
+    column (NOT distinct — min-based sketches don't need it)."""
+    return (docs.select(key, F.split("text", " ").alias("w"))
             .filter(F.size("w") >= 3)
-            .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("s"))
-            .distinct())
+            .select(key, F.explode(F.expr(_SHINGLE_EXPR)).alias("s")))
+
+
+def _shingles_of(docs):
+    return _keyed_shingles(docs, "doc_id").distinct()
 
 
 def _shingles(spark, sf_dir):
@@ -95,10 +110,7 @@ def minhash_band_candidates(sh, n_hashes: int, n_bands: int,
     degenerate case (byte-identical docs) to one representative."""
     assert n_hashes % n_bands == 0 and n_hashes <= len(MINHASH_A)
     r = n_hashes // n_bands
-    hashed = sh.select(
-        "doc_id",
-        ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-          .cast("long")) % MOD).alias("h2"))
+    hashed = sh.select("doc_id", _hash_mod_expr().alias("h2"))
     sigs = hashed.groupBy("doc_id").agg(*_sig_cols(n_hashes))
     band_arr = F.array(*[
         F.concat_ws("-", *[f"sig{b * r + i}" for i in range(r)])
@@ -819,13 +831,8 @@ def q_corpus_similarity(spark, sf_dir,
     is n_sources^2 comparisons of 64 ints, independent of corpus
     bytes)."""
     d = t(spark, sf_dir, "documents")
-    sh = (d.select("source", F.split("text", " ").alias("w"))
-          .filter(F.size("w") >= 3)
-          .select("source", F.explode(F.expr(_SHINGLE_EXPR)).alias("s")))
-    hashed = sh.select(
-        "source",
-        ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-          .cast("long")) % MOD).alias("h2"))
+    hashed = (_keyed_shingles(d, "source")
+              .select("source", _hash_mod_expr().alias("h2")))
     sigs = (hashed.groupBy("source").agg(*_sig_cols(n_hashes))
             .select("source", F.array(*[f"sig{j}"
                                         for j in range(n_hashes)])
@@ -891,13 +898,8 @@ def q_cardinality_estimate(spark, sf_dir,
     birthday-saturates near 10^9 distinct shingles — widen MOD (the
     perms are mod-prime bijections at any width) past that."""
     d = t(spark, sf_dir, "documents")
-    sh = (d.select("source", F.split("text", " ").alias("w"))
-          .filter(F.size("w") >= 3)
-          .select("source", F.explode(F.expr(_SHINGLE_EXPR)).alias("s")))
-    hashed = sh.select(
-        "source", "s",
-        ((F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10)
-          .cast("long")) % MOD).alias("h2"))
+    hashed = (_keyed_shingles(d, "source")
+              .select("source", "s", _hash_mod_expr().alias("h2")))
     m = hashed.groupBy("source").agg(
         F.countDistinct("s").alias("n_distinct"), *_sig_cols(n_mins))
     total = None

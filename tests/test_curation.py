@@ -208,8 +208,8 @@ def test_substring_dedup_semantics(spark):
     docs = (spark.read.parquet(f"{SF}/documents.parquet")
             .select("doc_id", "text", F.md5("text").alias("m"))
             .toPandas().set_index("doc_id"))
-    assert len(got) == (docs.text.str.split(" ").str.len()
-                        >= SUBSTR_K).sum()
+    # every document appears, including any shorter than K tokens
+    assert len(got) == len(docs)
     assert (got.n_dup_tokens <= got.n_tokens).all()
     # non-vacuous both ways: duplicated runs exist, clean docs exist
     touched = got[got.n_dup_tokens > 0]
@@ -318,3 +318,33 @@ def test_dsir_weights_plan(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_dedup_short_doc_passthrough(spark, tmp_path):
+    """Docs shorter than SUBSTR_K tokens contain no K-window by
+    definition: they must appear in the output unchanged (the sf
+    corpora contain none, so this pins it on a synthetic table)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.relational.curation import (
+        SUBSTR_K, q_substring_dedup)
+    dup_run = " ".join(f"w{i}" for i in range(SUBSTR_K))
+    texts = ["tiny doc", f"{dup_run} alpha beta", f"{dup_run} gamma delta"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    got = (q_substring_dedup(spark, str(tmp_path))
+           .toPandas().set_index("doc_id"))
+    assert len(got) == 3
+    short = got.loc[0]
+    assert short.n_tokens == 2 and short.n_dup_tokens == 0
+    assert short.cleaned_md5 == hashlib.md5(b"tiny doc").hexdigest()
+    # the shared K-run is cut from both long docs
+    for did, tail in [(1, "alpha beta"), (2, "gamma delta")]:
+        assert got.loc[did].n_dup_tokens == SUBSTR_K
+        assert got.loc[did].cleaned_md5 == \
+            hashlib.md5(tail.encode()).hexdigest()

@@ -152,18 +152,28 @@ def test_to_gray_integer_fast_path_bit_identical():
     rint-mean EXHAUSTIVELY (all 16.7M rgb combos) and leave
     non-3-channel inputs on the float64 path (s/4 can tie at .5)."""
     import numpy as np
-    from pdf_ocr_spark.kernels.binarize import _to_gray
+    from pdf_ocr_spark.kernels.binarize import to_gray
 
     r, g, b = np.meshgrid(np.arange(256), np.arange(256),
                           np.arange(256), indexing="ij")
     img = np.stack([r, g, b], axis=-1).astype(np.uint8) \
         .reshape(256, 256 * 256, 3)
     want = np.rint(img.astype(np.float64).mean(axis=2)).astype(np.uint8)
-    assert (_to_gray(img) == want).all()
+    assert (to_gray(img) == want).all()
 
     rng = np.random.default_rng(11)
     img4 = rng.integers(0, 256, (16, 16, 4), dtype=np.uint8)
     want4 = np.rint(img4.astype(np.float64).mean(axis=2)).astype(np.uint8)
-    assert (_to_gray(img4) == want4).all()
+    assert (to_gray(img4) == want4).all()
     gray2d = rng.integers(0, 256, (8, 8), dtype=np.uint8)
-    assert _to_gray(gray2d) is gray2d
+    assert to_gray(gray2d) is gray2d
+
+    # non-uint8 3-channel inputs must stay on the float64 path: the
+    # uint16 sum would truncate floats and wrap values > 65535/3
+    imgf = rng.random((8, 8, 3)) * 255.0
+    wantf = np.rint(imgf.astype(np.float64).mean(axis=2)).astype(np.uint8)
+    assert (to_gray(imgf) == wantf).all()
+    img16 = np.full((4, 4, 3), 30000, dtype=np.uint16)
+    want16 = np.rint(img16.astype(np.float64).mean(axis=2)) \
+        .astype(np.uint8)
+    assert (to_gray(img16) == want16).all()
