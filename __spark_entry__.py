@@ -109,7 +109,10 @@ def _extracted_frame(spark: SparkSession) -> DataFrame:
         with_bucket
 
     path = _fixture_path("pipeline")
-    key = f"{id(spark)}:{path}"
+    # keyed by applicationId, not id(spark): CPython reuses object
+    # addresses after GC, and a checkpointed frame bound to a stopped
+    # context must never be handed to a fresh session
+    key = f"{spark.sparkContext.applicationId}:{path}"
     if key not in _EXTRACTED_CACHE:
         df = spark.read.parquet(path).select("conv_id", "turn_idx", "text")
         df = with_bucket(df, DEFAULT.num_buckets,

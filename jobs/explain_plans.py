@@ -211,34 +211,39 @@ def main() -> None:
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
     # exact shape jobs/dedup_extracted.py executes in production (read
     # extracted parquet/Iceberg -> surrogate key -> LSH -> join back)
+    import shutil
     import tempfile
     from pdf_ocr_spark.pipeline import run_extraction
     from pdf_ocr_spark.dedup_extracted import dedup_extracted_neardup
     xd = tempfile.mkdtemp(prefix="plans_extract_")
-    run_extraction(spark, fixture, os.path.join(xd, "out"),
-                   os.path.join(xd, "lin"), run_id="plans",
-                   input_snapshot_id="plans", num_buckets=8,
-                   resume=False)
-    extracted = spark.read.parquet(os.path.join(xd, "out"))
-    capture(
-        "dedup_extracted_neardup", dedup_extracted_neardup(extracted),
-        "Dedup composed with the pipeline's own output: turns keyed by "
-        "xxhash64(conv_id, turn_idx) JVM-side, extraction-output scan "
-        "pruned to (conv_id, turn_idx, extracted_text), the library's "
-        "band equi-join + verify untouched, and the (conv, turn) "
-        "identity joined back as plain hash joins (pair side is small "
-        "-> AQE broadcasts).")
+    try:
+        run_extraction(spark, fixture, os.path.join(xd, "out"),
+                       os.path.join(xd, "lin"), run_id="plans",
+                       input_snapshot_id="plans", num_buckets=8,
+                       resume=False)
+        extracted = spark.read.parquet(os.path.join(xd, "out"))
+        capture(
+            "dedup_extracted_neardup", dedup_extracted_neardup(extracted),
+            "Dedup composed with the pipeline's own output: turns keyed "
+            "by xxhash64(conv_id, turn_idx) JVM-side, extraction-output "
+            "scan pruned to (conv_id, turn_idx, extracted_text), the "
+            "library's band equi-join + verify untouched, and the "
+            "(conv, turn) identity joined back as plain hash joins "
+            "(pair side is small -> AQE broadcasts).")
 
-    from pdf_ocr_spark.curate import curate_corpus
-    capture(
-        "curate_corpus", curate_corpus(extracted),
-        "The full curation composition over extraction output. Look "
-        "for: the dedup sub-plan unchanged (band equi-join + verify + "
-        "CC label join); quality/repetition metrics evaluated in the "
-        "same projection as the canonical filter (no extra shuffle, no "
-        "Python UDF stage); split/shard assignment map-side; the "
-        "packing window partitioned by (split, shard) — "
-        "hashpartitioning(split, shard...), never SinglePartition.")
+        from pdf_ocr_spark.curate import curate_corpus
+        capture(
+            "curate_corpus", curate_corpus(extracted),
+            "The full curation composition over extraction output. Look "
+            "for: the dedup sub-plan unchanged (band equi-join + verify "
+            "+ CC label join); quality/repetition metrics evaluated in "
+            "the same projection as the canonical filter (no extra "
+            "shuffle, no Python UDF stage); split/shard assignment "
+            "map-side; the packing window partitioned by (split, shard) "
+            "— hashpartitioning(split, shard...), never "
+            "SinglePartition.")
+    finally:
+        shutil.rmtree(xd, ignore_errors=True)
 
     out = os.path.join(repo, "PLANS.md")
     with open(out, "w") as f:

@@ -28,8 +28,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .dedup_extracted import turns_as_docs
-from .relational.curation import (
-    REP_2GRAM_THRESHOLD, REP_3GRAM_THRESHOLD, _dup_frac_expr)
+from .relational.curation import _dup_frac_expr
 from .relational.dedup import minhash_clusters
 from .relational.textstats import quality_cols
 from .relational.util import round6, salted_mod
@@ -38,6 +37,8 @@ from .relational.util import round6, salted_mod
 def curate_corpus(extracted: DataFrame, *,
                   jaccard_threshold: float = 0.5,
                   min_quality: float = 0.30,
+                  rep_2gram_threshold: float = 0.20,
+                  rep_3gram_threshold: float = 0.18,
                   train_pct: int = 80, val_pct: int = 10,
                   n_shards: int = 8, budget: int = 2048,
                   max_iters: int = 20) -> DataFrame:
@@ -54,8 +55,19 @@ def curate_corpus(extracted: DataFrame, *,
     Survival = is_canonical in its near-dup cluster (MinHash/LSH +
     exact-Jaccard >= ``jaccard_threshold``, component-minimum canonical)
     AND quality >= ``min_quality`` AND not repetitive (duplicate 2/3-gram
-    fractions under the Gopher-family thresholds; turns too short for the
-    metrics pass the filter).
+    fractions under the repetition thresholds; turns too short for the
+    metrics pass the filter). The repetition defaults are Gopher's
+    PRODUCTION values (0.20/0.18, Rae et al. 2021 Table A1) — real prose
+    routinely repeats word bigrams and the synthetic-corpus-tuned
+    constants in relational/curation.py would mass-discard it; pass
+    those explicitly when curating the small-vocab gate corpora.
+
+    Token work (counts, repetition grams, quality) runs over
+    whitespace-NORMALIZED text: extracted_text joins pages and
+    paragraphs with newlines (extract.py), so a single-space split
+    would fuse 'kappa\\n\\nalpha' into one token — undercounting the
+    pack budget and letting repeated boilerplate paragraphs evade the
+    2/3-gram metrics. Dedup still runs on the raw bytes.
 
     The split bucket is salted-md5 of "conv_id:turn_idx" — a turn never
     migrates between train and eval when the corpus grows, and the pack
@@ -67,12 +79,15 @@ def curate_corpus(extracted: DataFrame, *,
              .select("doc_id", "cluster_size")
              .join(d, "doc_id"))
 
-    n_tokens, _avg_tok, _punct, score = quality_cols("text")
-    base = canon.withColumn("w", F.split("text", " "))
+    n_tokens, _avg_tok, _punct, score = quality_cols("t_norm")
+    base = (canon
+            .withColumn("t_norm",
+                        F.trim(F.regexp_replace("text", "\\s+", " ")))
+            .withColumn("w", F.split("t_norm", " ")))
     repetitive = F.when(
         F.size("w") >= 6,
-        (F.expr(_dup_frac_expr(2)) > REP_2GRAM_THRESHOLD)
-        | (F.expr(_dup_frac_expr(3)) > REP_3GRAM_THRESHOLD)
+        (F.expr(_dup_frac_expr(2)) > rep_2gram_threshold)
+        | (F.expr(_dup_frac_expr(3)) > rep_3gram_threshold)
     ).otherwise(F.lit(False))
     scored = base.select(
         "conv_id", "turn_idx", "cluster_size",

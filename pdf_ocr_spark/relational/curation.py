@@ -104,17 +104,23 @@ _GRAM5_SQL = (
 )
 
 
-def q_contamination_check(spark, sf_dir):
+def q_contamination_check(spark, sf_dir, eval_grams=None):
     """Benchmark-contamination scan: training docs (split bucket <
     100-CONTAM_EVAL_PCT, same deterministic md5 buckets as split_assign)
     that share a word 5-gram with any eval-split doc, with contaminated
     gram counts and fraction.
 
-    Scale shape: the eval gram set is bounded by the benchmark size — a
-    few MB even for large eval suites — so it is ``F.broadcast`` joined;
-    the training side is one distinct-shuffle plus one aggregation.
-    Grams compare by the portable 60-bit md5 hash (identical in the
-    oracle), so the broadcast ships longs, not strings."""
+    Scale shape: the ``F.broadcast`` hint encodes the PRODUCTION
+    contract — the eval side is a fixed benchmark suite's gram hashes
+    (a few MB at any corpus scale), passed in via ``eval_grams`` (an
+    (h,) frame of 60-bit gram hashes). The default derives a pseudo-eval
+    set from the corpus's own CONTAM_EVAL_PCT split buckets so the op
+    is self-contained at gate scale; that derived side is a corpus
+    FRACTION, so at real scale pass the genuine benchmark set (or the
+    broadcast hint must go). The training side is one distinct-shuffle
+    plus one aggregation; grams compare by the portable 60-bit md5 hash
+    (identical in the oracle), so the broadcast ships longs, not
+    strings."""
     d = t(spark, sf_dir, "documents")
     bucket = salted_mod("doc_id", "split:", 100)
     grams = (d.select("doc_id", bucket.alias("b"),
@@ -124,9 +130,10 @@ def q_contamination_check(spark, sf_dir):
                      F.explode(F.expr(_GRAM5_EXPR)).alias("s"))
              .select("doc_id", "b", hash60("s").alias("h"))
              .distinct())
-    eval_h = (grams.filter(F.col("b") >= 100 - CONTAM_EVAL_PCT)
-              .select("h").distinct()
-              .withColumn("hit", F.lit(1)))
+    if eval_grams is None:
+        eval_grams = (grams.filter(F.col("b") >= 100 - CONTAM_EVAL_PCT)
+                      .select("h").distinct())
+    eval_h = eval_grams.withColumn("hit", F.lit(1))
     train = grams.filter(F.col("b") < 100 - CONTAM_EVAL_PCT)
     scored = (train.join(F.broadcast(eval_h), "h", "left")
               .groupBy("doc_id")

@@ -367,9 +367,11 @@ _SQL_NORM_A = ("sqrt(list_sum(list_transform(range(1, 65), i -> "
                "emb_a[i]::DOUBLE * emb_a[i]::DOUBLE)))")
 
 def make_dedup_embedding_cosine_sql(
-        threshold: float = EMB_NEARDUP_THRESHOLD) -> str:
+        threshold: float = EMB_NEARDUP_DEFAULT) -> str:
     """DuckDB oracle twin of q_dedup_embedding_cosine at the same
-    threshold."""
+    threshold. Defaults MATCH the Spark function's production default;
+    the gate constants below pass the synthetic-corpus threshold
+    explicitly on BOTH sides."""
     return f"""
 WITH b AS (
   SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket
@@ -389,7 +391,8 @@ ORDER BY vec_a, vec_b
 """
 
 
-SQL_DEDUP_EMBEDDING_COSINE = make_dedup_embedding_cosine_sql()
+SQL_DEDUP_EMBEDDING_COSINE = make_dedup_embedding_cosine_sql(
+    threshold=EMB_NEARDUP_THRESHOLD)
 
 
 # --- embedding near-dup clusters (components over cosine pairs) ------------
@@ -472,7 +475,11 @@ def q_semdedup(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
                      .alias("c_emb")))
     for _ in range(n_iters):
         cents = _lloyd_update(_assign(e, cents))
-    assigned = _assign(e, cents)
+    # three consumers below (both pair sides + the verdict join) would
+    # otherwise re-run the whole Lloyd-training + assignment lineage
+    # three times — same materialize-once convention as dedup.py's
+    # shingle frame
+    assigned = _assign(e, cents).localCheckpoint(eager=True)
 
     a1 = assigned.select("cent_id", F.col("vec_id").alias("a_id"),
                          F.col("embedding").alias("emb_a"))
@@ -496,9 +503,11 @@ def q_semdedup(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
 
 
 def make_semdedup_sql(n_cents: int = 16, n_iters: int = 2,
-                      threshold: float = EMB_NEARDUP_THRESHOLD) -> str:
+                      threshold: float = EMB_NEARDUP_DEFAULT) -> str:
     """DuckDB oracle twin of q_semdedup at the same parameters (shares
-    the k-means training CTEs with the IVF twin)."""
+    the k-means training CTEs with the IVF twin). Defaults MATCH
+    q_semdedup's production default; the gate constant passes the
+    synthetic-corpus threshold explicitly on BOTH sides."""
     ctes = _train_assign_ctes(n_cents, n_iters)
     ctes.append(f"""pairs AS (
   SELECT x.vec_id AS a_id, y.vec_id AS b_id,
@@ -517,7 +526,7 @@ FROM af a ORDER BY a.vec_id"""
     return "WITH " + ",\n".join(ctes) + body
 
 
-SQL_SEMDEDUP = make_semdedup_sql()
+SQL_SEMDEDUP = make_semdedup_sql(threshold=EMB_NEARDUP_THRESHOLD)
 
 
 # Gate wrappers: the synthetic-embeddings threshold is passed EXPLICITLY

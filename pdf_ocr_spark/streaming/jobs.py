@@ -146,9 +146,18 @@ def stream_dedup_exact(
     collapsed (the documented trade; widen the watermark or run the
     batch op over the sink for full-history dedup).
 
+    NULL-text turns carry no content to deduplicate (same rule as the
+    batch analog, dedup_extracted.turns_as_docs): they bypass the dedup
+    state and pass through with th = NULL — a coalesce-to-'' key would
+    collapse NULL turns with genuinely-empty-text turns AND silently
+    drop every NULL turn after the first.
+
     Returns the streaming DataFrame; caller attaches a sink."""
-    src = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
-    return (src
-            .withColumn("th", F.md5(F.coalesce(F.col("text"), F.lit(""))))
-            .withWatermark("ts", watermark)
-            .dropDuplicatesWithinWatermark(["th"]))
+    src = (spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+           .withWatermark("ts", watermark))
+    deduped = (src.filter(F.col("text").isNotNull())
+               .withColumn("th", F.md5("text"))
+               .dropDuplicatesWithinWatermark(["th"]))
+    passthrough = (src.filter(F.col("text").isNull())
+                   .withColumn("th", F.lit(None).cast("string")))
+    return deduped.unionByName(passthrough)

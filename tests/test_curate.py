@@ -115,3 +115,28 @@ def test_e2e_over_real_pipeline_output(spark, tmp_path):
     assert {(r.conv_id, r.turn_idx) for r in cur.itertuples()} <= ok_keys
     assert (cur.n_tokens > 0).all()
     assert set(cur.split) <= {"train", "val", "test"}
+
+
+def test_curate_tokens_split_on_any_whitespace(spark):
+    """extracted_text joins pages/paragraphs with newlines: token
+    counting (and hence the pack budget) must not fuse words across
+    the paragraph join."""
+    ext = _frame(spark, [
+        ("cw", 0, "one two three\n\nfour five six seven eight nine ten")])
+    cur = curate_corpus(ext).toPandas()
+    assert len(cur) == 1
+    assert cur.n_tokens.iloc[0] == 10
+
+
+def test_curate_repetition_default_is_production(spark):
+    """Ordinary prose repeats bigrams ('in the', 'there is') at ~0.15 —
+    the synthetic-tuned 0.05 threshold would discard it; the Gopher
+    production default (0.20) must keep it, and the threshold must be
+    overridable back down for small-vocab corpora."""
+    text = ("in the house there is a cat and in the garden there is a "
+            "dog and nothing else to report today")
+    ext = _frame(spark, [("cp", 0, text)])
+    assert len(curate_corpus(ext).toPandas()) == 1
+    assert len(curate_corpus(
+        ext, rep_2gram_threshold=0.05,
+        rep_3gram_threshold=0.02).toPandas()) == 0

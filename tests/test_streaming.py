@@ -135,3 +135,43 @@ def test_stream_dedup_exact_collapses_cross_batch_duplicates(
     batch = spark.read.parquet(input_dir)
     assert len(rows) == batch.selectExpr("md5(text) th") \
         .distinct().count()
+
+
+def test_stream_dedup_exact_null_vs_empty(spark, tmp_path_factory):
+    """NULL-text turns bypass dedup state (no content to deduplicate —
+    batch-analog rule) and are NOT collapsed with each other or with
+    genuinely-empty-text turns; empty texts dedup normally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+    from pdf_ocr_spark.streaming import stream_dedup_exact
+
+    base = tmp_path_factory.mktemp("sdedupn")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [("c1", 0, None, 0), ("c2", 0, "", 1),
+            ("c3", 0, None, 2), ("c4", 0, "", 3),
+            ("c5", 0, "real text", 4), ("c6", 0, "real text", 5)]
+    pq.write_table(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "ts": pa.array([t0 + timedelta(minutes=r[3]) for r in rows],
+                       pa.timestamp("us")),
+    }), os.path.join(input_dir, "part-0.parquet"))
+
+    dd = stream_dedup_exact(spark, input_dir, watermark="1 hour")
+    q = (dd.writeStream.format("memory").queryName("sdedupn")
+         .outputMode("append")
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("select * from sdedupn").collect()
+    # both NULL turns survive; '' collapses to one; 'real text' to one
+    assert sorted(r["conv_id"] for r in out if r["text"] is None) \
+        == ["c1", "c3"]
+    assert len([r for r in out if r["text"] == ""]) == 1
+    assert len([r for r in out if r["text"] == "real text"]) == 1
