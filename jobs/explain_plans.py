@@ -105,8 +105,10 @@ def main() -> None:
             "Partial aggregation (map-side combine) before the single "
             "shuffle; whole-stage codegen around both aggregates.",
         "mean_of_means":
-            "The orders dim side is broadcast (no shuffle of the fact "
-            "aggregate); per-order partial agg combines map-side.",
+            "Per-order partial agg combines map-side. The orders join "
+            "carries NO broadcast hint — orders scales with the corpus, "
+            "so the optimizer broadcasts it from stats at gate scale "
+            "(BroadcastHashJoin below) and sort-merges at 100 TB.",
         "ann_cosine_topk":
             "1-row query side broadcast; top-k is TakeOrderedAndProject "
             "(no global sort); dot products are JVM-side higher-order "

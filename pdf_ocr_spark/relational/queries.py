@@ -221,8 +221,12 @@ def q_mean_of_means(spark, sf_dir):
         F.avg("l_discount").alias("order_avg"),
         F.count("*").alias("n_lines"),
         F.sum("l_discount").alias("sum_disc"))
+    # no broadcast hint: orders is a fact table (scales with the
+    # corpus), not a dim — the optimizer broadcasts it from stats at
+    # gate scale and sort-merges at 100 TB; a forced hint would pin a
+    # corpus-sized build side
     joined = per_order.join(
-        F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+        o.select("o_orderkey", "o_orderpriority"),
         per_order.l_orderkey == o.o_orderkey)
     return (joined.groupBy("o_orderpriority")
             .agg(round6(F.avg("order_avg")).alias("mean_of_means"),
@@ -458,8 +462,10 @@ def q_skip_ocr_routing(spark, sf_dir):
     routed = li.withColumn(
         "route", F.when(F.col("l_quantity") >= 25, "extract")
         .otherwise("ocr"))
+    # no broadcast hint — same rationale as q_mean_of_means: orders
+    # scales with the corpus; the optimizer picks the strategy
     joined = routed.join(
-        F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+        o.select("o_orderkey", "o_orderpriority"),
         routed.l_orderkey == o.o_orderkey)
     return (joined.groupBy("o_orderpriority")
             .agg(F.count(F.when(F.col("route") == "extract", 1))
