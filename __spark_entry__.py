@@ -121,7 +121,7 @@ def _extracted_frame(spark: SparkSession) -> DataFrame:
             df.repartition(16, F.col("bucket"))
             .sortWithinPartitions("conv_id", "turn_idx")
             .mapInPandas(_make_extract_udf(DEFAULT), schema=OUTPUT_SCHEMA)
-            .select("conv_id", "turn_idx", "extracted_text")
+            .select("conv_id", "turn_idx", "extracted_text", "method")
             .localCheckpoint(eager=True))
     return _EXTRACTED_CACHE[key]
 

@@ -19,8 +19,13 @@ at 10^12 turns are ~2.7e-8 per the birthday bound on 64 bits — and a
 collision only merges two turns into one dedup identity, it cannot
 corrupt the extraction output itself.
 
-Error turns (extracted_text is NULL) are excluded: they carry no content
-to deduplicate.
+Error turns are excluded: they carry no content to deduplicate. The
+pipeline emits error rows with method='error' and extracted_text ''
+(EMPTY, not NULL — reference parity keeps the output schema total), so
+exclusion keys on the method/error columns when the frame carries them;
+the NULL filter is only the fallback for bare 3-column projections.
+Legitimately-empty documents (a blank page extracts to '') stay IN:
+identical empty content deduplicating together is correct.
 
 Scale shape: everything downstream of extraction is the already-audited
 dedup library (band equi-joins, verify-on-candidates, pointer-jumping CC);
@@ -39,10 +44,19 @@ def turns_as_docs(extracted: DataFrame) -> DataFrame:
     """(doc_id, conv_id, turn_idx, text) view of extraction output.
 
     ``extracted`` must carry (conv_id, turn_idx, extracted_text) — the
-    pipeline's OUTPUT_SCHEMA or any projection of it. Turns whose
-    extraction errored (NULL extracted_text) are dropped."""
-    return (extracted
-            .filter(F.col("extracted_text").isNotNull())
+    pipeline's OUTPUT_SCHEMA or any projection of it. Error turns are
+    dropped: by method='error' / a non-NULL error column when the frame
+    carries those columns (the pipeline emits error rows with
+    extracted_text '' — empty, NOT NULL — so a NULL filter alone would
+    let a million corrupt-PDF turns masquerade as one giant ''
+    duplicate cluster), with the NULL filter as the fallback for bare
+    3-column projections."""
+    d = extracted
+    if "method" in d.columns:
+        d = d.filter(F.col("method") != "error")
+    elif "error" in d.columns:
+        d = d.filter(F.col("error").isNull())
+    return (d.filter(F.col("extracted_text").isNotNull())
             .select(F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
                     "conv_id", "turn_idx",
                     F.col("extracted_text").alias("text")))

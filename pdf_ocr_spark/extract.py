@@ -39,9 +39,22 @@ RESULT_COLUMNS = [
 # because Python workers are reused across jobs in one SparkSession: a
 # second run with different preprocessing flags / dpi / backend must
 # never be served results decoded under the first run's config
-# (code-review r3). Bounded FIFO.
+# (code-review r3). Bounded FIFO — by entry count AND by bytes: entries
+# hold full extraction results (text + spans), and 512 multi-MB texts
+# would pin gigabytes of Python heap per worker on large-PDF corpora
+# (the flagship plan's dedup-before-decode already makes hits ~0 there).
 _PDF_CACHE: dict = {}
 _PDF_CACHE_MAX = 512
+_PDF_CACHE_MAX_BYTES = 256 * 1024 * 1024
+_PDF_CACHE_BYTES = 0
+
+
+def _entry_bytes(value) -> int:
+    """Approximate heap cost of a cached result: dominated by the
+    extracted text (item 0 of the result tuple); spans/metadata are
+    proportional and covered by the 2x factor."""
+    text = value[0] if value and isinstance(value[0], str) else ""
+    return 2 * len(text) + 256
 
 
 def _pdf_cache_key(payload: str, cfg: EngineConfig) -> tuple:
@@ -64,9 +77,17 @@ def _pdf_cache_get(key: tuple, counters: dict | None = None):
 
 
 def _pdf_cache_put(key: tuple, value) -> None:
-    if len(_PDF_CACHE) >= _PDF_CACHE_MAX:
-        _PDF_CACHE.pop(next(iter(_PDF_CACHE)))
+    global _PDF_CACHE_BYTES
+    nb = _entry_bytes(value)
+    if nb > _PDF_CACHE_MAX_BYTES:
+        return  # a single oversized result must not evict everything
+    while _PDF_CACHE and (len(_PDF_CACHE) >= _PDF_CACHE_MAX
+                          or _PDF_CACHE_BYTES + nb
+                          > _PDF_CACHE_MAX_BYTES):
+        old = _PDF_CACHE.pop(next(iter(_PDF_CACHE)))  # FIFO evict
+        _PDF_CACHE_BYTES -= _entry_bytes(old)
     _PDF_CACHE[key] = value
+    _PDF_CACHE_BYTES += nb
 
 
 def _spans(paragraphs: list, sep_len: int = 2) -> list:
@@ -189,6 +210,20 @@ def _extract_pdf_doc_inner(text: str, cfg: EngineConfig) -> tuple:
             info.page_count, None)
 
 
+def _cached_pdf_extract(payload: str, cfg: EngineConfig,
+                        counters: dict | None):
+    """One cache-keyed decode — the SINGLE code path both the light
+    batch and the distinct-payload batch go through, so the two stages
+    cannot drift on cache keying or result-tuple shape (byte-equality
+    contract with oracle.extract_turn)."""
+    key = _pdf_cache_key(payload, cfg)
+    hit = _pdf_cache_get(key, counters)
+    if hit is None:
+        hit = _extract_pdf_doc(payload, cfg)
+        _pdf_cache_put(key, hit)
+    return hit
+
+
 def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
                           counters: dict | None = None) -> pd.DataFrame:
     """Extract a batch of *distinct PDF payloads* (the dedup-before-decode
@@ -203,11 +238,7 @@ def extract_payload_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
     vals = texts.to_numpy(dtype=object)
     for i in range(n):
         t0 = time.perf_counter_ns()
-        key = _pdf_cache_key(vals[i], cfg)
-        hit = _pdf_cache_get(key, counters)
-        if hit is None:
-            hit = _extract_pdf_doc(vals[i], cfg)
-            _pdf_cache_put(key, hit)
+        hit = _cached_pdf_extract(vals[i], cfg, counters)
         text, spans, method, c, n_pages, err = hit
         out["extracted_text"][i] = text
         out["spans"][i] = list(spans)
@@ -290,11 +321,7 @@ def extract_batch(texts: pd.Series, cfg: EngineConfig = DEFAULT,
     pdf_idx = np.nonzero(kind_arr == "pdf_b64")[0]
     for i in pdf_idx:
         t0 = time.perf_counter_ns()
-        key = _pdf_cache_key(vals[i], cfg)
-        hit = _pdf_cache_get(key, counters)
-        if hit is None:
-            hit = _extract_pdf_doc(vals[i], cfg)
-            _pdf_cache_put(key, hit)
+        hit = _cached_pdf_extract(vals[i], cfg, counters)
         text, spans, method, conf, n_pages, err = hit
         out_text[i] = text
         out_spans[i] = list(spans)

@@ -72,6 +72,12 @@ LINEAGE_SCHEMA = StructType([
     StructField("wall_time_s", DoubleType()),
     StructField("status", StringType()),
     StructField("updated_at", StringType()),
+    # the bucketing config the bucket ids were computed under: bucket 5
+    # of a 32-bucket run holds DIFFERENT turns than bucket 5 of a
+    # 64-bucket run, so resume must only trust completions recorded
+    # under the CURRENT config
+    StructField("num_buckets", IntegerType()),
+    StructField("salt_turns", IntegerType()),
 ])
 
 
@@ -228,7 +234,9 @@ def build_result(df: DataFrame, cfg: EngineConfig,
 
 
 def build_lineage(written: DataFrame, in_counts: DataFrame, run_id: str,
-                  input_snapshot_id: str, now_iso: str) -> DataFrame:
+                  input_snapshot_id: str, now_iso: str,
+                  num_buckets: int = 64,
+                  salt_turns: int = 64) -> DataFrame:
     """Per-bucket lineage rows from the freshly written output + the
     per-bucket input counts.
 
@@ -260,6 +268,8 @@ def build_lineage(written: DataFrame, in_counts: DataFrame, run_id: str,
                     F.when(F.col("rows_in") == F.col("rows_out"),
                            F.lit("completed")).otherwise(F.lit("incomplete")))
         .withColumn("updated_at", F.lit(now_iso))
+        .withColumn("num_buckets", F.lit(num_buckets).cast("int"))
+        .withColumn("salt_turns", F.lit(salt_turns).cast("int"))
         .select([f.name for f in LINEAGE_SCHEMA.fields])
     )
 
@@ -274,7 +284,15 @@ def _path_exists(spark: SparkSession, path: str) -> bool:
 
 
 def completed_buckets(spark: SparkSession, lineage_path: str,
-                      input_snapshot_id: str) -> set:
+                      input_snapshot_id: str,
+                      num_buckets: int | None = None,
+                      salt_turns: int | None = None) -> set:
+    """Bucket ids recorded completed for this snapshot UNDER THE SAME
+    bucketing config. A bucket id only names the same set of turns when
+    (num_buckets, salt_turns) match, so completions recorded under a
+    different config — or by a pre-config-stamping legacy lineage table —
+    are not trusted (those buckets reprocess; the per-bucket dynamic
+    overwrite makes that safe, never silent data loss)."""
     from .catalog import is_table_identifier, load_table
     if not is_table_identifier(lineage_path) and \
             not _path_exists(spark, lineage_path):
@@ -283,10 +301,17 @@ def completed_buckets(spark: SparkSession, lineage_path: str,
         lin = load_table(spark, lineage_path)
     except Exception:
         return set()
-    rows = (
-        lin.filter((F.col("status") == "completed")
-                   & (F.col("input_snapshot_id") == input_snapshot_id))
-        .select("bucket").distinct().collect())
+    cond = (F.col("status") == "completed") \
+        & (F.col("input_snapshot_id") == input_snapshot_id)
+    if num_buckets is not None:
+        if "num_buckets" not in lin.columns:
+            return set()
+        cond = cond & (F.col("num_buckets") == num_buckets)
+    if salt_turns is not None:
+        if "salt_turns" not in lin.columns:
+            return set()
+        cond = cond & (F.col("salt_turns") == salt_turns)
+    rows = lin.filter(cond).select("bucket").distinct().collect()
     return {r["bucket"] for r in rows}
 
 
@@ -336,7 +361,9 @@ def run_extraction(
 
     done: set = set()
     if resume:
-        done = completed_buckets(spark, lineage_path, input_snapshot_id)
+        done = completed_buckets(spark, lineage_path, input_snapshot_id,
+                                 num_buckets,
+                                 cfg.salt_turns_per_group)
         if done:
             df = df.filter(~F.col("bucket").isin(sorted(done)))
 
@@ -377,18 +404,22 @@ def run_extraction(
     # reference's meta-write-after-result ordering, api/ocr.py:284-306).
     # Aggregates the light columns of the freshly written buckets — parquet
     # column pruning keeps this scan tiny relative to extracted_text.
-    written = load_table(spark, output_path)
-    if done:
-        written = written.filter(~F.col("bucket").isin(sorted(done)))
-    now_iso = pd.Timestamp.now(tz="UTC").isoformat()
     # Honest rows_in: count the pre-UDF input per bucket (cheap — the scan
     # reads only the columns bucket derives from, and the agg is a partial
     # map-side combine over <= num_buckets keys). rows_in != rows_out is
     # exactly the data-loss signal resume auditing needs; copying rows_out
     # would mask it (VERDICT r1 #2).
     in_counts = df.groupBy("bucket").agg(F.count("*").alias("rows_in"))
+    # scope the read-back to the buckets THIS run processed (the input's
+    # own bucket set): excluding only `done` would still attribute
+    # partitions left by OTHER runs — a different snapshot, or an older
+    # bucketing config — to this run's lineage/metrics/enrichment
+    written = (load_table(spark, output_path)
+               .join(in_counts.select("bucket"), "bucket", "left_semi"))
+    now_iso = pd.Timestamp.now(tz="UTC").isoformat()
     lineage = build_lineage(written, in_counts, run_id,
-                            input_snapshot_id, now_iso)
+                            input_snapshot_id, now_iso,
+                            num_buckets, cfg.salt_turns_per_group)
     cat_append(lineage, lineage_path)
 
     # optional AI-enrichment post-stage (VERDICT r2 #6): runs over the
@@ -445,9 +476,13 @@ def flag_repeated_turns(result: DataFrame,
     within its conversation (repeated system banners, tool preambles) is
     flagged for training-data filtering.
 
-    Scale shape: one window over (conv_id, text-hash) — co-partitioned
-    with the output's conv_id bucketing, so no extra shuffle when applied
-    before the final repartition."""
+    Scale shape: one window over (conv_id, text-hash). This IS one full
+    exchange of the extracted frame — the output's bucket partitioning
+    (hash of (conv_id, turn_idx//K)) does NOT satisfy a
+    (conv_id, md5(text)) window, so Spark shuffles regardless of where
+    in the job this is applied. Per-key state is tiny (turns per
+    conversation x distinct texts); budget one shuffle of the corpus
+    when composing it."""
     from pyspark.sql.window import Window
     w = Window.partitionBy("conv_id", F.md5("extracted_text"))
     return result.withColumn(

@@ -240,37 +240,44 @@ def _dedup_groups(d):
     return members, rep_docs
 
 
-def _reassociate(rep_pairs, members, rep_docs):
+def _reassociate(rep_pairs, members, rep_docs, value_col="jaccard",
+                 intra_value=None, elig=None):
     """Expand representative-level similarity pairs back to all group
-    members.
+    members. Shared by the MinHash, ngram and SimHash-Hamming paths —
+    the value column and its exact-match constant are parameters
+    (jaccard=1.0 / hamming=0 for byte-identical texts).
 
-    * intra-group pairs: identical texts => jaccard exactly 1.0, but
-      only for texts that produce shingles at all (>= 3 words) —
-      shingle-less docs never become candidates in the naive algorithms
-      either. Restricted to groups with >= 2 members BEFORE the
-      self-join: in a low-dup corpus the join input is ~empty instead of
-      every document.
-    * inter-group fan-out: a rep pair's jaccard holds for every member
-      pair (identical shingle sets within a group). rep_pairs is the
-      small side — these plan as broadcast joins over the member list.
+    * intra-group pairs: identical texts => the exact-match value, but
+      only for reps in ``elig`` (default: texts that produce shingles
+      at all, >= 3 words — shingle-less docs never become candidates in
+      the naive algorithms either; the Hamming path passes
+      has-a-fingerprint). Restricted to groups with >= 2 members BEFORE
+      the self-join: in a low-dup corpus the join input is ~empty
+      instead of every document.
+    * inter-group fan-out: a rep pair's value holds for every member
+      pair (identical texts within a group). rep_pairs is the small
+      side — these plan as broadcast joins over the member list.
     * dup-free corpus (``members is None``): reps ARE the documents, so
       rep_pairs is already the answer — no joins at all."""
     if members is None:
         return rep_pairs
-    elig = (rep_docs.filter(F.size(F.split("text", " ")) >= 3)
-            .select(F.col("doc_id").alias("rep_id")))
+    if intra_value is None:
+        intra_value = F.lit(1.0)
+    if elig is None:
+        elig = (rep_docs.filter(F.size(F.split("text", " ")) >= 3)
+                .select(F.col("doc_id").alias("rep_id")))
     emembers = (members.filter(F.col("grp_n") > 1).join(elig, "rep_id"))
     p = emembers.select("th", F.col("doc_id").alias("doc_a"))
     q = emembers.select("th", F.col("doc_id").alias("doc_b"))
     intra = (p.join(q, "th").filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b", F.lit(1.0).alias("jaccard")))
+             .select("doc_a", "doc_b", intra_value.alias(value_col)))
     ma = members.select(F.col("rep_id").alias("doc_a"),
                         F.col("doc_id").alias("xa"))
     mb = members.select(F.col("rep_id").alias("doc_b"),
                         F.col("doc_id").alias("xb"))
     inter = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
              .select(F.least("xa", "xb").alias("doc_a"),
-                     F.greatest("xa", "xb").alias("doc_b"), "jaccard"))
+                     F.greatest("xa", "xb").alias("doc_b"), value_col))
     return intra.unionByName(inter)
 
 
@@ -503,27 +510,14 @@ def q_dedup_simhash_hamming(spark, sf_dir,
         .filter(F.col("hamming") <= max_hamming)
         .distinct())
 
-    # reassociate to group members (pairs carry hamming, not jaccard):
-    # eligibility = the rep HAS a fingerprint (>= 1 non-empty token).
-    # Dup-free corpus: reps are the docs, rep_pairs is the answer.
-    if members is None:
-        return rep_pairs.orderBy("doc_a", "doc_b")
-    emembers = (members.filter(F.col("grp_n") > 1)
-                .join(sim.select(F.col("doc_id").alias("rep_id")),
-                      "rep_id"))
-    p = emembers.select("th", F.col("doc_id").alias("doc_a"))
-    q = emembers.select("th", F.col("doc_id").alias("doc_b"))
-    intra = (p.join(q, "th").filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b",
-                     F.lit(0).cast("int").alias("hamming")))
-    ma = members.select(F.col("rep_id").alias("doc_a"),
-                        F.col("doc_id").alias("xa"))
-    mb = members.select(F.col("rep_id").alias("doc_b"),
-                        F.col("doc_id").alias("xb"))
-    inter = (rep_pairs.join(ma, "doc_a").join(mb, "doc_b")
-             .select(F.least("xa", "xb").alias("doc_a"),
-                     F.greatest("xa", "xb").alias("doc_b"), "hamming"))
-    return intra.unionByName(inter).orderBy("doc_a", "doc_b")
+    # reassociate to group members via the shared helper (pairs carry
+    # hamming; byte-identical texts are distance 0; eligibility = the
+    # rep HAS a fingerprint, i.e. >= 1 non-empty token)
+    return _reassociate(
+        rep_pairs, members, rep_docs, value_col="hamming",
+        intra_value=F.lit(0).cast("int"),
+        elig=sim.select(F.col("doc_id").alias("rep_id"))
+    ).orderBy("doc_a", "doc_b")
 
 
 def make_simhash_hamming_sql(

@@ -11,7 +11,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .util import round6, LSH_PLANES, t
+from .util import (
+    round6, LSH_DEDUP_BANDS, LSH_DEDUP_BAND_BITS, LSH_PLANES,
+    LSH_PLANES_DEDUP, t,
+)
 
 _DOT_Q = ("aggregate(zip_with(embedding, q_emb, (x, y) -> "
           "cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
@@ -20,6 +23,16 @@ _NORM = ("sqrt(aggregate(transform(embedding, x -> "
 _NORM_Q = ("sqrt(aggregate(transform(q_emb, x -> "
            "cast(x as double) * cast(x as double)), 0D, "
            "(acc, v) -> acc + v))")
+# pair-side variants (emb_a vs q_emb) — ONE definition, used by both
+# q_dedup_embedding_cosine and q_semdedup; the DuckDB twins are
+# _SQL_DOT_AB/_SQL_NORM_A below. A cast/precision fix must land in all
+# four constants together or the oracle gate breaks in a different
+# operator than the one edited.
+_DOT_AB = ("aggregate(zip_with(emb_a, q_emb, (x, y) -> "
+           "cast(x as double) * cast(y as double)), 0D, "
+           "(acc, v) -> acc + v)")
+_NORM_A = ("sqrt(aggregate(transform(emb_a, x -> cast(x as double) * "
+           "cast(x as double)), 0D, (acc, v) -> acc + v))")
 
 _SQL_DOT_Q = ("list_sum(list_transform(range(1, 65), i -> "
               "embedding[i]::DOUBLE * q_emb[i]::DOUBLE))")
@@ -335,26 +348,75 @@ EMB_NEARDUP_DEFAULT = 0.95
 EMB_NEARDUP_THRESHOLD = 0.35
 
 
+def _dedup_band_keys_spark() -> F.Column:
+    """Array of LSH_DEDUP_BANDS band keys (one sign-bit integer per
+    4-plane band) — the banded analog of _bucket_expr_spark."""
+    keys = []
+    for b in range(LSH_DEDUP_BANDS):
+        total = F.lit(0)
+        for i in range(LSH_DEDUP_BAND_BITS):
+            plane = LSH_PLANES_DEDUP[b * LSH_DEDUP_BAND_BITS + i]
+            arr = "array(" + ", ".join(f"{v}D" for v in plane) + ")"
+            dot = (f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
+                   f"cast(x as double) * y), 0D, (acc, v) -> acc + v)")
+            total = total + F.when(F.expr(dot) >= 0, 1 << i).otherwise(0)
+        keys.append(total)
+    return F.array(*keys)
+
+
+def _dedup_band_key_sql(b: int) -> str:
+    parts = []
+    for i in range(LSH_DEDUP_BAND_BITS):
+        plane = LSH_PLANES_DEDUP[b * LSH_DEDUP_BAND_BITS + i]
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        dot = (f"list_sum(list_transform(range(1, 65), i -> "
+               f"embedding[i]::DOUBLE * ({arr}::DOUBLE[])[i]))")
+        parts.append(f"CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END")
+    return " + ".join(parts)
+
+
+def _dedup_banded_cte() -> str:
+    """DuckDB banded CTE body: one SELECT per band, UNION ALLed (the
+    twin of the Spark posexplode over _dedup_band_keys_spark)."""
+    return "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_idx, {_dedup_band_key_sql(b)} "
+        f"AS band_key FROM embeddings"
+        for b in range(LSH_DEDUP_BANDS))
+
+
 def q_dedup_embedding_cosine(spark, sf_dir,
                              threshold: float = EMB_NEARDUP_DEFAULT):
-    """Embedding-cosine near-duplicate pairs: LSH bucket equi-join (the
-    scale path — candidate pairs only within a bucket, never the cross
-    join), then exact cosine >= threshold verification."""
+    """Embedding-cosine near-duplicate pairs: BANDED random-hyperplane
+    LSH candidates (equi-join on (band_idx, band_key) — candidate pairs
+    only within a band bucket, never a cross join), then exact
+    cosine >= threshold verification on the distinct candidates.
+
+    Banding is what makes the recall honest at near-dup thresholds: a
+    cosine-0.95 pair collides in a single 8-plane bucket w.p. only
+    ~0.43, but in >= 1 of 4 independent 4-plane bands w.p. ~0.986 (see
+    util.LSH_PLANES_DEDUP). Same candidates in the DuckDB twin, so the
+    oracle gate checks the identical pair set. At 10^9+ vectors raise
+    the band width (more planes per band, more bands) to keep buckets
+    executor-sized — the plan shape (posexplode -> band equi-join ->
+    verify joins) is unchanged."""
     e = t(spark, sf_dir, "embeddings")
-    b = e.withColumn("bucket", _bucket_expr_spark())
-    a1 = b.select(F.col("vec_id").alias("vec_a"),
-                  F.col("embedding").alias("emb_a"), "bucket")
-    a2 = b.select(F.col("vec_id").alias("vec_b"),
-                  F.col("embedding").alias("q_emb"), "bucket")
-    dot = ("aggregate(zip_with(emb_a, q_emb, (x, y) -> "
-           "cast(x as double) * cast(y as double)), 0D, "
-           "(acc, v) -> acc + v)")
-    na = ("sqrt(aggregate(transform(emb_a, x -> cast(x as double) * "
-          "cast(x as double)), 0D, (acc, v) -> acc + v))")
-    pairs = (a1.join(a2, "bucket")
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .withColumn("cosine", F.expr(dot) / (F.expr(na)
-                                                  * F.expr(_NORM_Q)))
+    banded = e.select(
+        "vec_id",
+        F.posexplode(_dedup_band_keys_spark())
+        .alias("band_idx", "band_key"))
+    cand = (banded.alias("x")
+            .join(banded.alias("y"), ["band_idx", "band_key"])
+            .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(F.col("x.vec_id").alias("vec_a"),
+                    F.col("y.vec_id").alias("vec_b"))
+            .distinct())
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("q_emb"))
+    pairs = (cand.join(ea, "vec_a").join(eb, "vec_b")
+             .withColumn("cosine", F.expr(_DOT_AB) / (F.expr(_NORM_A)
+                                                      * F.expr(_NORM_Q)))
              .filter(F.col("cosine") >= threshold))
     return (pairs.select("vec_a", "vec_b",
                          round6("cosine").alias("cosine"))
@@ -373,14 +435,20 @@ def make_dedup_embedding_cosine_sql(
     the gate constants below pass the synthetic-corpus threshold
     explicitly on BOTH sides."""
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket
-  FROM embeddings
+WITH banded AS (
+  {_dedup_banded_cte()}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.vec_id < y.vec_id
 ),
 pairs AS (
-  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         x.embedding AS emb_a, y.embedding AS q_emb
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT vec_a, vec_b, ea.embedding AS emb_a, eb.embedding AS q_emb
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+  JOIN embeddings eb ON eb.vec_id = cand.vec_b
 )
 SELECT vec_a, vec_b,
        (floor(({_SQL_DOT_AB} / ({_SQL_NORM_A} * {_SQL_NORM_Q}))
@@ -415,14 +483,20 @@ def q_dedup_embedding_clusters(spark, sf_dir, max_iters: int = 20,
 
 
 SQL_DEDUP_EMBEDDING_CLUSTERS = f"""
-WITH RECURSIVE b AS (
-  SELECT vec_id, embedding, {_bucket_expr_sql()} AS bucket
-  FROM embeddings
+WITH RECURSIVE banded AS (
+  {_dedup_banded_cte()}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+   AND x.vec_id < y.vec_id
 ),
 cpairs AS (
-  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         x.embedding AS emb_a, y.embedding AS q_emb
-  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  SELECT vec_a, vec_b, ea.embedding AS emb_a, eb.embedding AS q_emb
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.vec_a
+  JOIN embeddings eb ON eb.vec_id = cand.vec_b
 ),
 near AS (
   SELECT vec_a, vec_b FROM cpairs
@@ -485,14 +559,9 @@ def q_semdedup(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
                          F.col("embedding").alias("emb_a"))
     a2 = assigned.select("cent_id", F.col("vec_id").alias("b_id"),
                          F.col("embedding").alias("q_emb"))
-    dot = ("aggregate(zip_with(emb_a, q_emb, (x, y) -> "
-           "cast(x as double) * cast(y as double)), 0D, "
-           "(acc, v) -> acc + v)")
-    na = ("sqrt(aggregate(transform(emb_a, x -> cast(x as double) * "
-          "cast(x as double)), 0D, (acc, v) -> acc + v))")
     dups = (a1.join(a2, "cent_id")
             .filter(F.col("a_id") < F.col("b_id"))
-            .filter(F.expr(dot) / (F.expr(na) * F.expr(_NORM_Q))
+            .filter(F.expr(_DOT_AB) / (F.expr(_NORM_A) * F.expr(_NORM_Q))
                     >= threshold)
             .select(F.col("b_id").alias("vec_id")).distinct()
             .withColumn("dup", F.lit(1)))

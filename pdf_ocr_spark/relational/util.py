@@ -287,3 +287,16 @@ MINHASH_N_BANDS = 16
 
 # Random-hyperplane LSH for 64-dim embeddings: 8 planes -> 8-bit bucket
 LSH_PLANES = [_lcg_floats(1000 + j, 64) for j in range(8)]
+
+# banded random-hyperplane LSH for the embedding near-dup ops: 4 bands
+# of 4 planes each. A pair within cosine 0.95 (theta ~18.2deg) agrees
+# with one plane w.p. 1 - theta/pi ~ 0.899, with a 4-plane band w.p.
+# 0.899^4 ~ 0.653, and with AT LEAST ONE of 4 bands w.p.
+# 1 - (1 - 0.653)^4 ~ 0.986 — vs 0.899^8 ~ 0.43 for a single 8-plane
+# band (the r1-r4 shape, replaced after review). Independent seeds from
+# LSH_PLANES so the histogram op and the dedup op decorrelate.
+LSH_DEDUP_BANDS = 4
+LSH_DEDUP_BAND_BITS = 4
+LSH_PLANES_DEDUP = [
+    _lcg_floats(2000 + j, 64)
+    for j in range(LSH_DEDUP_BANDS * LSH_DEDUP_BAND_BITS)]

@@ -82,3 +82,44 @@ def test_semdedup_pairs_stay_within_clusters(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
         "BroadcastHashJoin" in plan  # the cent_id pair equi-join
+
+
+def test_embedding_neardup_banded_recall(spark, tmp_path):
+    """The banded LSH must catch nearly all true cosine>=0.95 pairs
+    (theory: ~0.986 for 4 bands x 4 planes) — the single 8-plane bucket
+    it replaced caught only ~0.43. Planted pairs, deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.relational.similarity import (
+        q_dedup_embedding_cosine)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(60, 64)) * 0.035
+    dup = base + noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    vecs = np.concatenate([base, dup]).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(120), pa.int64()),
+        "label": pa.array(["x"] * 120, pa.string()),
+        "embedding": pa.array([list(v) for v in vecs],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    # driver-side brute-force truth at the production threshold
+    vd = vecs.astype(np.float64)
+    sims = vd @ vd.T / np.outer(np.linalg.norm(vd, axis=1),
+                                np.linalg.norm(vd, axis=1))
+    truth = {(a, b) for a in range(120) for b in range(a + 1, 120)
+             if sims[a, b] >= 0.95}
+    assert len(truth) >= 50  # the planted pairs are real near-dups
+
+    got = q_dedup_embedding_cosine(spark, str(tmp_path),
+                                   threshold=0.95).toPandas()
+    found = {(int(r.vec_a), int(r.vec_b)) for _, r in got.iterrows()}
+    assert found <= truth  # exact verify: no false positives
+    recall = len(found) / len(truth)
+    assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"

@@ -168,3 +168,47 @@ def test_empty_input_returns_zeroed_metrics(spark, tmp_path):
     m = run_extraction(spark, empty, str(tmp_path / "out"),
                        str(tmp_path / "lin"), run_id="e", resume=False)
     assert m["rows_out"] == 0 and m["turns_per_sec"] == 0.0
+
+
+def test_resume_distrusts_other_bucketing_config(spark, tmp_path):
+    """Bucket ids only name the same turns under the same
+    (num_buckets, salt) config: completions recorded at num_buckets=8
+    must NOT be skipped by a resume at num_buckets=4 (reprocessing is
+    safe; skipping would silently lose the turns that moved buckets)."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {"conv_id": [f"conv-{i:06d}" for i in range(12)],
+            "turn_idx": [0] * 12,
+            "text": ["plain text turn %d" % i for i in range(12)]}
+    inp = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "conv_id": pa.array(rows["conv_id"], pa.string()),
+        "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+        "text": pa.array(rows["text"], pa.string()),
+    }), inp)
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+    m1 = run_extraction(spark, inp, out, lin, run_id="r1",
+                        input_snapshot_id="snap", num_buckets=8,
+                        resume=False)
+    assert m1["rows_out"] == 12
+    # same snapshot, same config -> full skip
+    m2 = run_extraction(spark, inp, out, lin, run_id="r2",
+                        input_snapshot_id="snap", num_buckets=8,
+                        resume=True)
+    assert m2["rows_out"] == 0 and m2["skipped_buckets"] > 0
+    # same snapshot, DIFFERENT num_buckets -> nothing skipped
+    m3 = run_extraction(spark, inp, out, lin, run_id="r3",
+                        input_snapshot_id="snap", num_buckets=4,
+                        resume=True)
+    assert m3["skipped_buckets"] == 0 and m3["rows_out"] == 12
+    # legacy lineage without config columns is not trusted either
+    from pdf_ocr_spark.pipeline import completed_buckets
+    legacy = spark.read.parquet(lin).drop("num_buckets", "salt_turns")
+    legacy_path = str(tmp_path / "lin_legacy")
+    legacy.write.parquet(legacy_path)
+    assert completed_buckets(spark, legacy_path, "snap",
+                             num_buckets=8, salt_turns=64) == set()
+    assert len(completed_buckets(spark, legacy_path, "snap")) > 0
