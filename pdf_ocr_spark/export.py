@@ -49,7 +49,13 @@ def txt_simple(pages: list, paragraph_separator: str = "\n\n") -> str:
 
 def markdown(pages: list, title: str | None = None,
              include_page_numbers: bool = True) -> str:
-    """Reference markdown export (api/export.py:101-114)."""
+    """Reference markdown export (api/export.py:101-114).
+
+    Quirk, faithfully mirrored: the reference's markdown path renders
+    the RAW page_num (api/export.py:111) while its txt path renders
+    page_num + 1 (txt_export.py:68) — the same document shows
+    '--- 第 1 页 ---' in txt and '## 第 0 页' in markdown. Pinned by
+    test_export.py; do not 'fix' one side alone."""
     out = []
     if title:
         out.append(f"# {title}\n\n")
@@ -102,14 +108,20 @@ def assemble_conversations(result: DataFrame,
     turn texts joined in turn order (the conversation-level analog of the
     page assembly L7). JVM-only: sort_array over collected structs — no
     UDF, one shuffle on conv_id."""
+    # column API, not an f-string SQL expression: ``sep`` is caller
+    # data, and interpolating it into a SQL literal broke on quotes and
+    # re-interpreted backslash escapes (review); array_join takes the
+    # delimiter as a plain Python string
+    joined = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("turn_idx", "extracted_text"))),
+            lambda x: x["extracted_text"]),
+        sep)
     return (result
             .groupBy("conv_id")
             .agg(
-                F.expr(
-                    "array_join(transform(array_sort(collect_list("
-                    "struct(turn_idx, extracted_text))), "
-                    f"x -> x.extracted_text), '{sep}')"
-                ).alias("conversation_text"),
+                joined.alias("conversation_text"),
                 F.count("*").alias("n_turns"),
                 F.sum(F.when(F.col("method") == "error", 1).otherwise(0))
                 .alias("n_errors")))

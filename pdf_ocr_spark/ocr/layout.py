@@ -233,15 +233,17 @@ def rebuild_paragraphs(texts, boxes, confs, threshold: float = 1.5):
     boundary = np.concatenate(
         [[True], (gaps > avg_height * threshold) | starts]
     )
-    group_ids = np.cumsum(boundary) - 1
-    paras = []
-    for g in range(group_ids[-1] + 1):
-        idx = np.nonzero(group_ids == g)[0]
-        paras.append(Para(
-            text="".join(texts[i] for i in idx),
-            line_confs=[float(confs[i]) for i in idx],
-        ))
-    return paras
+    # one pass over the boundary positions: slicing between consecutive
+    # boundaries regroups in O(n) — the per-group np.nonzero scan this
+    # replaces was O(n_lines x n_paragraphs), quadratic on list-heavy
+    # pages where most lines start a paragraph (review)
+    bounds = np.nonzero(boundary)[0]
+    ends = np.append(bounds[1:], n)
+    return [
+        Para(text="".join(texts[s:e]),
+             line_confs=[float(c) for c in confs[s:e]])
+        for s, e in zip(bounds, ends)
+    ]
 
 
 @dataclass

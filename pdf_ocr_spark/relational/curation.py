@@ -131,9 +131,12 @@ def q_contamination_check(spark, sf_dir, eval_grams=None):
              .select("doc_id", "b", hash60("s").alias("h"))
              .distinct())
     if eval_grams is None:
-        eval_grams = (grams.filter(F.col("b") >= 100 - CONTAM_EVAL_PCT)
-                      .select("h").distinct())
-    eval_h = eval_grams.withColumn("hit", F.lit(1))
+        eval_grams = grams.filter(F.col("b") >= 100 - CONTAM_EVAL_PCT)
+    # distinct UNCONDITIONALLY: a caller-supplied benchmark union can
+    # repeat a gram hash, and a duplicated hash would fan out the left
+    # join — double-counting n_contaminated AND inflating n_grams past
+    # the doc's distinct gram count (frac > 1.0)
+    eval_h = eval_grams.select("h").distinct().withColumn("hit", F.lit(1))
     train = grams.filter(F.col("b") < 100 - CONTAM_EVAL_PCT)
     scored = (train.join(F.broadcast(eval_h), "h", "left")
               .groupBy("doc_id")

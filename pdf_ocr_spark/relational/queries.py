@@ -417,7 +417,6 @@ def q_page_separator_assembly(spark, sf_dir):
     '\\n\\n--- 第 {page} 页 ---\\n\\n' (1-based) emitted only between
     pages — per source, the first 3 docs as 'pages'."""
     d = t(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
     w = Window.partitionBy("source").orderBy("doc_id")
     rows = (d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)

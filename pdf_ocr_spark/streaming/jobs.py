@@ -112,12 +112,16 @@ def stream_method_counts(
     routing reuses the cheap prefix tests (no decode in the aggregation
     path)."""
     src = spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+    # strip ALL leading whitespace like the engine's lstrip() does
+    # (extract.py html routing): F.ltrim strips spaces only, so a
+    # '\n<html>' turn would route html in extraction but count as
+    # 'plain' here and the monitoring would diverge (review)
+    stripped = F.lower(F.regexp_replace(F.col("text"), r"^\s+", ""))
     kind = (
         F.when(F.col("text").isNull(), "null")
         .when(F.col("text").startswith("JVBERi"), "pdf")
-        .when(F.lower(F.ltrim(F.col("text"))).startswith("<!doctype html")
-              | F.lower(F.ltrim(F.col("text"))).startswith("<html"),
-              "html")
+        .when(stripped.startswith("<!doctype html")
+              | stripped.startswith("<html"), "html")
         .otherwise("plain"))
     return (src.withColumn("kind", kind)
             .withWatermark("ts", watermark)

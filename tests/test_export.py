@@ -92,3 +92,18 @@ def test_column_exports(spark):
 
     flagged = with_low_confidence_flag(df).collect()[0]
     assert flagged["low_confidence"] is True
+
+
+def test_assemble_conversations_sep_is_data_not_sql(spark):
+    """The separator is caller data: quotes and backslash sequences must
+    pass through verbatim (the old f-string SQL interpolation raised on
+    quotes and re-lexed backslash escapes)."""
+    from pdf_ocr_spark.export import assemble_conversations
+    df = spark.createDataFrame(
+        [("c1", 1, "beta", "plain"), ("c1", 0, "alpha", "plain")],
+        "conv_id string, turn_idx int, extracted_text string, "
+        "method string")
+    for sep in ["' ", "\\t", "\n\n", "'; DROP--"]:
+        got = assemble_conversations(df, sep=sep).collect()
+        assert got[0]["conversation_text"] == f"alpha{sep}beta"
+        assert got[0]["n_turns"] == 2 and got[0]["n_errors"] == 0
