@@ -28,11 +28,21 @@ _PDF_B64_PREFIX = "JVBERi"  # base64 of "%PDF"
 
 
 def detect_payload_kind(text: str | None) -> str:
+    """Cheap prefix router. The PDF check tolerates leading whitespace
+    (like the HTML check, and like base64 decoding itself — b64decode
+    ignores whitespace): a '\\nJVBERi...' payload from an upstream ETL
+    must decode as a PDF, not be emitted verbatim as 'extracted' text.
+    The PIPELINE's scan-level route keeps the raw-prefix pushdown
+    (StringStartsWith on the unstripped column): whitespace-prefixed
+    payloads just take the light path, where this detector routes them
+    to the same decode — correctness everywhere, dedup-before-decode
+    for the canonical (unprefixed) common case."""
     if text is None:
         return KIND_NULL
-    if text.startswith(_PDF_B64_PREFIX):
+    head = text.lstrip()
+    if head.startswith(_PDF_B64_PREFIX):
         return KIND_PDF
-    head = text.lstrip()[:15].lower()
+    head = head[:15].lower()
     if head.startswith("<!doctype html") or head.startswith("<html"):
         return KIND_HTML
     return KIND_PLAIN

@@ -108,6 +108,10 @@ def _styles_xml() -> str:
     return "".join(parts)
 
 
+# constant bytes — built once, not per authored document (review)
+_STYLES_XML = _styles_xml()
+
+
 def _run_xml(text: str, font_name: str, font_size_pt: int,
              bold: bool = False, color: str | None = None) -> str:
     """One w:r with the reference's run styling (docx_export.py:164-174):
@@ -160,7 +164,7 @@ def _package(document_xml: str) -> bytes:
                 ("[Content_Types].xml", _CONTENT_TYPES),
                 ("_rels/.rels", _RELS),
                 ("word/_rels/document.xml.rels", _DOC_RELS),
-                ("word/styles.xml", _styles_xml()),
+                ("word/styles.xml", _STYLES_XML),
                 ("word/document.xml", document_xml)):
             zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
             zi.compress_type = zipfile.ZIP_DEFLATED

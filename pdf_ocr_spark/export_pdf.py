@@ -103,7 +103,16 @@ def with_searchable_pdf(df, cfg=None):
     """Column-level S11 export over raster turns: re-render each PDF
     payload's image pages and author a searchable PDF with the OCR text
     layer. Input df needs (conv_id, turn_idx, text) rows routed to the
-    raster path; the per-document loop runs inside Arrow batches."""
+    raster path; the per-document loop runs inside Arrow batches.
+
+    Cost honesty: this stage re-runs the full decode -> render ->
+    preprocess -> OCR chain per document — the most expensive compute
+    in the engine — because the extraction output persists only text +
+    spans, not OCR line geometry. A pipeline running extraction AND
+    this export at scale should persist the extraction stage's line
+    geometry and feed it into searchable_pdf_bytes directly, halving
+    the raster-path cost; here the export is standalone-correct and
+    pays for itself."""
     import pandas as pd
 
     from .config import DEFAULT
@@ -153,11 +162,7 @@ def with_searchable_pdf(df, cfg=None):
                         res = engine.recognize(img, p)
                         images.append(img)
                         lines.append([
-                            (ln.text,
-                             min(pt[0] for pt in ln.box),
-                             min(pt[1] for pt in ln.box),
-                             max(pt[1] for pt in ln.box)
-                             - min(pt[1] for pt in ln.box))
+                            (ln.text, ln.x_min, ln.y_min, ln.height)
                             for ln in res.lines])
                     blob = searchable_pdf_bytes(images, lines, dpi=dpi) \
                         if images else None

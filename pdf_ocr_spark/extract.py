@@ -109,8 +109,14 @@ def route_kinds(texts: pd.Series) -> pd.Series:
     """
     is_null = texts.isna().to_numpy()
     filled = texts.fillna("")
-    is_pdf = filled.str.startswith(_PDF_PREFIX).to_numpy()
-    head = filled.str.lstrip().str.slice(0, 15).str.lower()
+    # lstrip before the PDF prefix test too (matching
+    # detector.detect_payload_kind): b64decode ignores whitespace, so a
+    # '\nJVBERi...' payload must decode as a PDF here on the light path
+    # even though the pipeline's raw-prefix scan pushdown routed it away
+    # from the dedup-before-decode path
+    stripped = filled.str.lstrip()
+    is_pdf = stripped.str.startswith(_PDF_PREFIX).to_numpy()
+    head = stripped.str.slice(0, 15).str.lower()
     is_html = (head.str.startswith("<!doctype html") |
                head.str.startswith("<html")).to_numpy()
     return pd.Series(

@@ -77,11 +77,21 @@ def adaptive_binarize(img: np.ndarray, method: str = "gaussian",
                       block: int = 11, c: float = 2.0) -> np.ndarray:
     """Adaptive mean/gaussian threshold (reference binarize.py:71-113).
 
-    The gaussian variant uses a box-mean approximation of the gaussian
-    window — documented simplification (no cv2.getGaussianKernel here).
-    """
+    The two variants genuinely differ, as in the reference's
+    ADAPTIVE_THRESH_GAUSSIAN_C vs MEAN_C (the ``method`` knob was
+    previously inert — both collapsed to the box mean; review r4):
+    'gaussian' weights the window with the separable kernel at
+    OpenCV's default sigma (denoise._gaussian_kernel1d, reflect
+    padding), 'mean' is the edge-clamped box mean."""
     g = to_gray(img).astype(np.float64)
-    local = _box_mean(g, block)
+    if method == "gaussian":
+        from .denoise import _gaussian_kernel1d, _sep_convolve
+        local = _sep_convolve(g, _gaussian_kernel1d(block)) \
+            .astype(np.float64)
+    elif method == "mean":
+        local = _box_mean(g, block)
+    else:
+        raise ValueError(f"unknown adaptive method: {method}")
     return np.where(g > local - c, 255, 0).astype(np.uint8)
 
 

@@ -31,13 +31,26 @@ _TM_TJ_RX = re.compile(
     rb"1 0 0 1 ([\-0-9.]+) ([\-0-9.]+) Tm \(((?:\\.|[^\\)])*)\) Tj", re.S
 )
 _MEDIABOX_RX = re.compile(rb"/MediaBox \[0 0 ([\-0-9.]+) ([\-0-9.]+)\]")
+# render-time scan: font-size state changes OR text-showing ops, in
+# content-stream order (group 1 = Tf size; groups 2-4 = Tm/Tj)
+_TF_OR_TM_TJ_RX = re.compile(
+    rb"/F1 ([\-0-9.]+) Tf|"
+    rb"1 0 0 1 ([\-0-9.]+) ([\-0-9.]+) Tm \(((?:\\.|[^\\)])*)\) Tj", re.S
+)
 _LENGTH_RX = re.compile(rb"/Length (\d+)")
 
 
 def _unesc(b: bytes) -> str:
-    return (
+    raw = (
         b.replace(b"\\(", b"(").replace(b"\\)", b")").replace(b"\\\\", b"\\")
-    ).decode("latin-1")
+    )
+    # the paired writer emits UTF-8 (lossless CJK — review); latin-1 is
+    # the fallback for strings written by other tools (it never fails,
+    # every byte maps)
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
 
 
 class MiniPdf:
@@ -47,8 +60,19 @@ class MiniPdf:
         if not data.startswith(b"%PDF"):
             raise ValueError("not a PDF: missing %PDF magic")
         self._objs: dict[int, tuple[bytes, bytes | None]] = {}
-        self._parse_objects(data)
-        self._pages = self._collect_pages()
+        # honor the documented contract for ANY malformed subset PDF:
+        # missing /Kids object ids (KeyError), absent /Width
+        # (AttributeError on None.group), corrupt FlateDecode
+        # (zlib.error) all surfaced raw before (review), bypassing
+        # callers' narrow `except ValueError` decode handling
+        try:
+            self._parse_objects(data)
+            self._pages = self._collect_pages()
+        except ValueError:
+            raise
+        except Exception as e:
+            raise ValueError(
+                f"malformed pdf: {type(e).__name__}: {e}") from None
 
     # -- structure -----------------------------------------------------
     def _parse_objects(self, data: bytes) -> None:
@@ -198,10 +222,16 @@ class MiniPdf:
             )
             return src[np.ix_(ys, xs)].copy()
         canvas = np.full((h, w), 255, dtype=np.uint8)
-        for m in _TM_TJ_RX.finditer(p["content"]):
-            x, y = float(m.group(1)), float(m.group(2))
-            txt = _unesc(m.group(3))
-            size = 12.0
+        # sequential scan honoring /F1 <size> Tf state (the writer now
+        # emits one per span; default 12.0 covers pre-review PDFs whose
+        # single page-level Tf this regex also picks up)
+        size = 12.0
+        for m in _TF_OR_TM_TJ_RX.finditer(p["content"]):
+            if m.group(1) is not None:
+                size = float(m.group(1))
+                continue
+            x, y = float(m.group(2)), float(m.group(3))
+            txt = _unesc(m.group(4))
             scale = max(1, int(round(size * zoom / 8.0)))
             top = int(round((p["height"] - y - size) * zoom))
             fonts.draw_text(canvas, int(round(x * zoom)), top, txt, scale)

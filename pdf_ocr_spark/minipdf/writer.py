@@ -57,8 +57,19 @@ class ImagePage:
 
 
 def _esc(s: str) -> bytes:
+    """PDF literal-string bytes for ``s``, UTF-8 encoded.
+
+    latin-1 with errors='replace' (the pre-review behavior) turned every
+    CJK OCR line into '?' — the searchable layer was unsearchable for
+    exactly the reference app's primary content. PDF strings are byte
+    strings; UTF-8 keeps the content lossless and the paired reader
+    decodes it back (a standards-exact CJK layer additionally needs an
+    embedded CIDFont + ToUnicode CMap — outside this fixture-grade
+    subset, documented limitation). Escaping the str FIRST is safe:
+    multibyte UTF-8 units are >= 0x80, so '(' ')' '\\\\' only occur as
+    ASCII."""
     out = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    return out.encode("latin-1", errors="replace")
+    return out.encode("utf-8")
 
 
 def _render_scan(page: ImagePage) -> np.ndarray:
@@ -127,11 +138,15 @@ def build_pdf(pages: list) -> bytes:
 
     for p in pages:
         if isinstance(p, TextPage):
-            ops = [b"BT /F1 12 Tf"]
+            # per-span Tf: TextSpan.size was previously declared but
+            # silently ignored (one hardcoded '/F1 12 Tf' per page) —
+            # a loaded trap for fixture authors since ScanLine.size IS
+            # honored (review)
+            ops = [b"BT"]
             for sp in p.spans:
                 ops.append(
-                    b"1 0 0 1 %.2f %.2f Tm (%s) Tj"
-                    % (sp.x, sp.y, _esc(sp.text))
+                    b"/F1 %.2f Tf 1 0 0 1 %.2f %.2f Tm (%s) Tj"
+                    % (sp.size, sp.x, sp.y, _esc(sp.text))
                 )
             ops.append(b"ET")
             stream = b"\n".join(ops)

@@ -23,12 +23,17 @@ def test_homogeneous_batches():
     assert list(html["method"]) == ["html", "html"]
 
 
-def test_route_kinds_whitespace_pdf_prefix_is_plain():
-    # base64 payloads never carry leading whitespace in this schema; a
-    # whitespace-prefixed JVBERi routes to plain on BOTH sides
+def test_route_kinds_whitespace_pdf_prefix_decodes():
+    # b64decode ignores whitespace, so a whitespace-prefixed JVBERi is a
+    # PDF payload on BOTH sides (review r4 — previously pinned as plain,
+    # which emitted the raw base64 verbatim as 'extracted' text). This
+    # one is truncated ('%PDF-1.4' with no body), so both sides agree it
+    # is a pdf-path ERROR row, not silently-wrong plain text.
     s = "  JVBERi0xLjQ="
-    assert route_kinds(pd.Series([s]))[0] == "plain"
-    assert oracle.extract_turn(s).method == "plain"
+    assert route_kinds(pd.Series([s]))[0] == "pdf_b64"
+    out = extract_batch(pd.Series([s]))
+    r = oracle.extract_turn(s)
+    assert out["method"][0] == r.method == "error"
 
 
 def test_unicode_spans_plain():
@@ -121,3 +126,25 @@ def test_column_aware_config_reaches_ocr_layout_end_to_end():
     assert DEFAULT.column_aware is False
     assert extract_batch(pd.Series([payload]),
                          DEFAULT)["extracted_text"][0] == off_text
+
+
+def test_whitespace_prefixed_pdf_payload_routes_to_decode():
+    """b64decode ignores whitespace, so a '\\nJVBERi...' payload (ETL
+    artifact) must extract as a PDF — not be emitted verbatim as
+    'extracted' plain text (review). The pipeline's raw-prefix scan
+    pushdown sends it down the light path; route_kinds must still
+    route it to the decode there."""
+    import pandas as pd
+
+    from pdf_ocr_spark.detector import detect_payload_kind
+    from pdf_ocr_spark.extract import extract_batch, route_kinds
+    from pdf_ocr_spark.fixtures import _pdf_payload
+    import random
+
+    payload = _pdf_payload(random.Random(3), "text")
+    assert detect_payload_kind("\n " + payload) == "pdf_b64"
+    kinds = route_kinds(pd.Series([payload, "\n " + payload, "hi"]))
+    assert list(kinds) == ["pdf_b64", "pdf_b64", "plain"]
+    out = extract_batch(pd.Series([payload, "\n " + payload]))
+    assert list(out.method) == ["extract", "extract"]
+    assert out.extracted_text[0] == out.extracted_text[1]

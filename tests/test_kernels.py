@@ -177,3 +177,44 @@ def test_to_gray_integer_fast_path_bit_identical():
     want16 = np.rint(img16.astype(np.float64).mean(axis=2)) \
         .astype(np.uint8)
     assert (to_gray(img16) == want16).all()
+
+
+def test_adaptive_gaussian_differs_from_mean():
+    """The method knob must be real (it was inert — both variants
+    collapsed to the box mean): gaussian-weighted and box-mean local
+    thresholds disagree near strong edges, like the reference's
+    ADAPTIVE_THRESH_GAUSSIAN_C vs MEAN_C."""
+    import numpy as np
+    from pdf_ocr_spark.kernels.binarize import adaptive_binarize
+
+    rng = np.random.default_rng(5)
+    # full-range noise: many pixels sit near their local mean, where the
+    # gaussian-vs-box weighting difference flips the threshold decision
+    # (a bimodal image keeps every pixel far from both means and the two
+    # variants coincide trivially)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    ga = adaptive_binarize(img, method="gaussian")
+    me = adaptive_binarize(img, method="mean")
+    assert set(np.unique(ga)) <= {0, 255}
+    assert set(np.unique(me)) <= {0, 255}
+    assert (ga != me).any()
+    import pytest
+    with pytest.raises(ValueError):
+        adaptive_binarize(img, method="median")
+
+
+def test_minipdf_cjk_text_layer_roundtrip():
+    """CJK text must survive the searchable-PDF text layer (it was
+    latin-1 errors='replace' -> '????'; review r4)."""
+    from pdf_ocr_spark.minipdf.reader import MiniPdf
+    from pdf_ocr_spark.minipdf.writer import TextPage, TextSpan, build_pdf
+
+    blob = build_pdf([TextPage(spans=[
+        TextSpan(x=10, y=380, size=12.0, text="中文文本 latin mix"),
+        TextSpan(x=10, y=360, size=24.0, text="ascii line"),
+    ])])
+    pdf = MiniPdf(blob)
+    assert pdf.extract_page_text(0) == "中文文本 latin mix\nascii line"
+    # per-span size is honored in the raster (24pt draws taller glyphs)
+    img = pdf.render_page(0, dpi=144)
+    assert (img < 128).any()
