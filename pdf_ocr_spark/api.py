@@ -64,11 +64,16 @@ def process_pdf_bytes(
         combined = "\n\n".join(r["text"] for r in rows)
         return {"type": "text", "pages": rows, "combined": combined}
 
+    # NOTE: this loop is the user-facing twin of oracle._extract_pdf's
+    # per-document path (same preprocess order, same deliberate
+    # patch-by-processed-index misalignment for mixed docs — a pinned
+    # reference quirk, oracle.py). A semantic change must land in both.
     engine = get_engine()
     rows = []
     processed = []
+    image_set = set(info.image_pages)  # O(1) membership, O(P) lists
     for p in target:
-        if p not in info.image_pages:
+        if p not in image_set:
             rows.append({"page": p, "text": pdf.extract_text(p),
                          "confidence": 1.0, "method": "extract"})
             continue
@@ -105,7 +110,10 @@ def process_pdf_bytes(
                     rows[idx]["header"] = page.header
                 if page.footer:
                     rows[idx]["footer"] = page.footer
-    return {"type": "ocr", "pages": rows}
+    # the docstring (and the reference, SURVEY.md S8) promise combined
+    # text on EVERY path — the ocr path omitted it (review r4)
+    combined = "\n\n".join(r["text"] for r in rows)
+    return {"type": "ocr", "pages": rows, "combined": combined}
 
 
 def process_pdf_base64(payload: str, **kw) -> dict:

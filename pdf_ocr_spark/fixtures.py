@@ -160,11 +160,14 @@ def generate_transcripts(out_path: str, tier: str = "unit",
         rows["turn_idx"].append(turn_idx)
         rows["role"].append(_ROLES[turn_idx % 3])
         rows["text"].append(text)
-        t = text or ""
+        # the tool label derives from the SAME router the pipeline uses
+        # (a private re-implementation here had case-sensitive and
+        # no-lstrip variants that could disagree with actual routing)
+        from .detector import KIND_HTML, KIND_PDF, detect_payload_kind
+        kind = detect_payload_kind(text)
         rows["tool"].append(
-            "pdf_reader" if t.startswith("JVBERi")
-            else ("browser" if t.lstrip()[:5].lower().startswith("<html")
-                  or t.startswith("<!DOCTYPE") else ""))
+            "pdf_reader" if kind == KIND_PDF
+            else ("browser" if kind == KIND_HTML else ""))
         rows["ts"].append(_EPOCH + timedelta(seconds=conv_seq * 3600
                                              + turn_idx * 60))
 

@@ -134,9 +134,6 @@ def _downsample(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
     # area-weighted binning via cumulative sums at fractional boundaries
     ys = np.linspace(0, h, rows + 1)
     xs = np.linspace(0, w, cols + 1)
-    out = np.empty((rows, cols), dtype=np.float64)
-    ii = np.arange(h + 1)
-    jj = np.arange(w + 1)
     # integral image with zero row/col
     integ = np.zeros((h + 1, w + 1))
     integ[1:, 1:] = a.cumsum(0).cumsum(1)

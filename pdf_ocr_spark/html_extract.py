@@ -35,11 +35,21 @@ _VOID_TAGS = {"br", "hr", "img", "input", "meta", "link"}
 _WS_RX = re.compile(r"\s+")
 
 
+# tags legal inside <head>: anything else implicitly closes an
+# unclosed <head> (browser behavior — head is auto-closed at the first
+# flow-content tag; <body> is optional per spec)
+_HEAD_METADATA_TAGS = {"meta", "link", "title", "style", "script",
+                       "base", "noscript", "template", "head"}
+
+
 class _Extractor(HTMLParser):
     def __init__(self, strip_tags):
         super().__init__(convert_charrefs=True)
         self.strip_tags = set(strip_tags)
-        self.suppress_depth = 0
+        # explicit stack of OPEN strip containers, not a bare depth:
+        # browsers ignore unmatched end tags, so a stray '</footer>'
+        # must not end suppression opened by '<nav>' (review r4)
+        self.open_strips: list[str] = []
         self.blocks: list[str] = []
         self.buf: list[str] = []
 
@@ -52,22 +62,32 @@ class _Extractor(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         if tag == "body":
-            # recovery for documents that never close <head> (html.parser
-            # does no implicit closing) — body always ends suppression
-            self.suppress_depth = 0
+            # body always ends suppression (recovery for documents that
+            # never close boilerplate containers)
+            self.open_strips.clear()
+        elif tag not in _HEAD_METADATA_TAGS and "head" in self.open_strips:
+            # implicit </head> at the first flow-content tag — an
+            # unclosed <head> with an omitted <body> previously
+            # swallowed the whole document (review r4)
+            del self.open_strips[self.open_strips.index("head"):]
         if tag in self.strip_tags:
-            self.suppress_depth += 1
+            self.open_strips.append(tag)
             return
-        if self.suppress_depth:
+        if self.open_strips:
             return
         if tag in _BLOCK_TAGS or tag in ("br", "hr"):
             self._flush()
 
     def handle_endtag(self, tag):
         if tag in self.strip_tags:
-            self.suppress_depth = max(0, self.suppress_depth - 1)
+            # only a tag that is actually open closes suppression, and
+            # closing it also closes anything left open inside it
+            if tag in self.open_strips:
+                i = len(self.open_strips) - 1 \
+                    - self.open_strips[::-1].index(tag)
+                del self.open_strips[i:]
             return
-        if self.suppress_depth:
+        if self.open_strips:
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -78,7 +98,7 @@ class _Extractor(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_data(self, data):
-        if not self.suppress_depth:
+        if not self.open_strips:
             self.buf.append(data)
 
 
@@ -91,7 +111,11 @@ _HARD_STRIP = {"script", "style", "noscript", "template", "iframe",
                "svg", "head", "title"}
 
 
-def _parse_blocks(html: str, strip_tags, repeat_threshold: int) -> list:
+def _parse_blocks(html: str, strip_tags, repeat_threshold: int):
+    """-> (raw_blocks, boilerplate_removed_blocks). The raw list is the
+    fallback trigger: 'the parse saw nothing' (unclosed-container
+    suppression) and 'everything was legitimately removed as repeated
+    boilerplate' must not be conflated (review r4)."""
     parser = _Extractor(strip_tags)
     parser.feed(html)
     parser.close()
@@ -99,7 +123,7 @@ def _parse_blocks(html: str, strip_tags, repeat_threshold: int) -> list:
     blocks = parser.blocks
     counts = Counter(blocks)
     boilerplate = {t for t, c in counts.items() if c >= repeat_threshold}
-    return [b for b in blocks if b not in boilerplate]
+    return blocks, [b for b in blocks if b not in boilerplate]
 
 
 def extract_html_blocks(html: str, strip_tags=None,
@@ -107,21 +131,24 @@ def extract_html_blocks(html: str, strip_tags=None,
     """HTML -> list of main-content block texts (boilerplate removed).
 
     Recovery fallback (code-review r3): if the full strip-tag set
-    suppresses EVERYTHING — the signature of real-world markup like
-    '<body><form>...<p>main content</p>' whose boilerplate container
-    never closes (DOM-subtree strippers share this hole: a tolerant
-    parser attaches the rest of body under the unclosed element) — the
-    document is re-parsed with only the hard strip tags, trading some
-    boilerplate leakage for not losing the entire turn."""
+    suppresses EVERYTHING the parse could see — the signature of
+    real-world markup like '<body><form>...<p>main content</p>' whose
+    boilerplate container never closes (DOM-subtree strippers share
+    this hole: a tolerant parser attaches the rest of body under the
+    unclosed element) — the document is re-parsed with only the hard
+    strip tags, trading some boilerplate leakage for not losing the
+    entire turn. The trigger is the PRE-boilerplate block list (r4): a
+    document whose every block is legitimately removed as repeated
+    boilerplate returns [], it does not resurrect nav chrome."""
     if strip_tags is None:
         strip_tags = DEFAULT.html_strip_tags
     if repeat_threshold is None:
         repeat_threshold = DEFAULT.html_repeat_threshold
-    blocks = _parse_blocks(html, strip_tags, repeat_threshold)
-    if not blocks:
+    raw, blocks = _parse_blocks(html, strip_tags, repeat_threshold)
+    if not raw:
         hard = [t for t in strip_tags if t in _HARD_STRIP]
         if set(hard) != set(strip_tags):
-            blocks = _parse_blocks(html, hard, repeat_threshold)
+            _, blocks = _parse_blocks(html, hard, repeat_threshold)
     return blocks
 
 

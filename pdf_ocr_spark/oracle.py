@@ -291,8 +291,9 @@ def _extract_pdf(pdf: MiniPdf, cfg: EngineConfig,
     engine = get_engine()
     rows = []          # the ocr_result.json rows
     processed: list[RefPage] = []  # OCR'd pages only (api/ocr.py:116)
+    image_set = set(info.image_pages)  # O(1) membership in the page loop
     for page_num in target_pages:
-        need_ocr = page_num in info.image_pages
+        need_ocr = page_num in image_set
         if not need_ocr:
             rows.append({"page": page_num,
                          "text": pdf.extract_text(page_num),

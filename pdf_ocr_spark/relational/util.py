@@ -170,7 +170,8 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
         prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds;"
+            f"connected_components did not converge in "
+            f"{max_iters + 1} rounds;"
             f" raise max_iters (rounds scale with log(component diameter) "
             f"via pointer jumping, so this indicates a pathological graph)")
 
@@ -261,7 +262,7 @@ def _cc_two_phase(nodes: DataFrame, edges: DataFrame,
     if not converged:
         raise RuntimeError(
             f"connected_components(star) did not converge in "
-            f"{max_iters} rounds; raise max_iters")
+            f"{max_iters + 1} rounds; raise max_iters")
 
     # fixpoint edge set is a star forest: u -> component minimum.
     # min() guards the (convergence-probe-equal but multi-parent)

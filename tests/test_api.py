@@ -59,3 +59,19 @@ def test_margin_options_kill_page_number():
     assert out["pages"][0]["text"] == "Body content"
     out2 = process_pdf_bytes(build_pdf([page]))
     assert "42" in out2["pages"][0]["text"]  # filter off => kept
+
+
+def test_process_pdf_bytes_ocr_path_has_combined():
+    """The documented contract promises 'combined' on EVERY path; the
+    ocr path omitted it (review r4)."""
+    from pdf_ocr_spark.api import process_pdf_bytes
+    from pdf_ocr_spark.minipdf.writer import (
+        ImagePage, ScanLine, build_pdf)
+    blob = build_pdf([ImagePage(lines=[
+        ScanLine(x=20, y=40, size=12, text="hello ocr world")])])
+    out = process_pdf_bytes(blob)
+    assert out["type"] == "ocr"
+    assert "combined" in out
+    assert out["combined"] == "\n\n".join(
+        r["text"] for r in out["pages"])
+    assert out["combined"].strip()

@@ -87,3 +87,28 @@ def test_unclosed_boilerplate_container_recovery():
     # and a well-formed document is unaffected (no fallback triggered)
     html3 = ("<body><nav>menu</nav><p>article text</p>")
     assert extract_html_blocks(html3) == ["article text"]
+
+
+def test_unclosed_head_without_body_keeps_content():
+    """Browsers auto-close <head> at the first flow-content tag; an
+    omitted </head> + <body> (both optional per spec) must not swallow
+    the document (review r4)."""
+    html = '<html><head><meta charset="utf-8"><p>main content</p></html>'
+    assert extract_html_blocks(html) == ["main content"]
+
+
+def test_boilerplate_emptied_doc_does_not_resurrect_chrome():
+    """When every body block is legitimately removed as repeated
+    boilerplate, the result is [] — the unclosed-container fallback
+    must not re-parse and emit nav chrome as 'main content'."""
+    html = ('<html><body><nav>Home | Docs | About</nav>'
+            + '<p>Buy now!</p>' * 3 + '</body></html>')
+    assert extract_html_blocks(html) == []
+
+
+def test_unmatched_end_tag_does_not_end_suppression():
+    """A stray '</footer>' inside an open <nav> is ignored (browser
+    behavior): nav boilerplate must not leak."""
+    html = ('<html><body><nav>menu</footer> leaked?</nav>'
+            '<p>content</p></body></html>')
+    assert extract_html_blocks(html) == ["content"]
