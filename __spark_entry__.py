@@ -33,8 +33,12 @@ def _ship(spark: SparkSession) -> None:
 
     try:
         ship_package(spark)
-    except Exception:
-        pass  # already added in this session
+    except Exception as e:
+        # suppress ONLY the re-registration case; a real shipping
+        # failure (tempdir full, permission) must surface HERE, not as
+        # a ModuleNotFoundError deep inside mapInPandas later (review)
+        if "already" not in str(e).lower():
+            raise
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -71,8 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _extract_transcripts_query(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    """Rows-only check: full extraction pipeline over the pipeline-tier
-    fixture (non-SQL-expressible: render/OCR/layout inside the UDF)."""
+    """Rows-only check: full extraction pipeline over the UNIT-tier
+    fixture (20 turns, every route; non-SQL-expressible: render/OCR/
+    layout inside the UDF). The composed dedup queries below use the
+    bigger pipeline-tier fixture."""
     _ship(spark)
     from pyspark.sql import functions as F
 
@@ -114,6 +120,13 @@ def _extracted_frame(spark: SparkSession) -> DataFrame:
     # context must never be handed to a fresh session
     key = f"{spark.sparkContext.applicationId}:{path}"
     if key not in _EXTRACTED_CACHE:
+        # evict entries of other (stopped) applications: a long-lived
+        # driver looping sessions would otherwise pin one dead
+        # DataFrame graph per applicationId forever
+        app = spark.sparkContext.applicationId
+        for k in [k for k in _EXTRACTED_CACHE
+                  if not k.startswith(f"{app}:")]:
+            del _EXTRACTED_CACHE[k]
         df = spark.read.parquet(path).select("conv_id", "turn_idx", "text")
         df = with_bucket(df, DEFAULT.num_buckets,
                          DEFAULT.salt_turns_per_group)

@@ -62,8 +62,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_convs = int(os.environ.get("BENCH_TURNS", "2000"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
-        if "sf" in sf_dir else 0.0
+    # tolerate any directory layout: 'sf' elsewhere in the path (e.g.
+    # /srv/sfdata/...) previously crashed float() before anything ran
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.0
 
     from pdf_ocr_spark.pipeline import run_extraction
     from pdf_ocr_spark.relational import all_queries
@@ -75,6 +79,16 @@ def main() -> None:
     # adjudicated a phantom 41% regression this way) — record load so
     # the artifact itself carries the evidence
     load_start = os.getloadavg()
+
+    # resolve + validate the query list BEFORE the expensive extraction
+    # trials — a typo'd BENCH_QUERIES entry must not waste the whole run
+    wanted = os.environ.get("BENCH_QUERIES")
+    names = [n.strip() for n in wanted.split(",") if n.strip()] \
+        if wanted else HEADLINE_QUERIES
+    registry = all_queries()
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise SystemExit(f"unknown BENCH_QUERIES entries: {unknown}")
 
     # --- headline: extraction throughput -------------------------------
     # best-of-2 against neighbor noise on this shared host — but each
@@ -110,9 +124,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- relational suite ----------------------------------------------
-    wanted = os.environ.get("BENCH_QUERIES")
-    names = wanted.split(",") if wanted else HEADLINE_QUERIES
-    registry = all_queries()
     for name in names:
         fn = registry[name]
         t0 = time.time()
@@ -160,8 +171,9 @@ def main() -> None:
     spark.stop()
 
     total = round(sum(timings.values()), 3)
-    # like-for-like subtotal over the r3-era suite (headline grew by
-    # three dedup ops in r4, so `value` is not comparable to BENCH_r03)
+    # like-for-like subtotal over the r3-era suite (the r4 headline
+    # grew by the 14 ops listed below, so `value` is not comparable to
+    # BENCH_r03)
     r4_added = {"dedup_ngram_jaccard", "dedup_simhash_hamming",
                 "dedup_clusters", "contamination_check",
                 "repetition_stats", "line_dedup", "semdedup",

@@ -9,6 +9,7 @@ suffices, whole-stage codegen for the relational glue.
 from __future__ import annotations
 
 import io
+import tempfile
 import os
 import sys
 from contextlib import redirect_stdout
@@ -75,7 +76,7 @@ def main() -> None:
     from pdf_ocr_spark.pipeline import build_result
     from pdf_ocr_spark.fixtures import FIXTURE_VERSION, generate_transcripts
     fixture = os.path.join(
-        "/tmp/pdf_ocr_spark_fixtures",
+        os.path.join(tempfile.gettempdir(), "pdf_ocr_spark_fixtures"),
         f"transcripts_unit_v{FIXTURE_VERSION}.parquet")
     if not os.path.exists(fixture):
         os.makedirs(os.path.dirname(fixture), exist_ok=True)
@@ -214,7 +215,6 @@ def main() -> None:
     # exact shape jobs/dedup_extracted.py executes in production (read
     # extracted parquet/Iceberg -> surrogate key -> LSH -> join back)
     import shutil
-    import tempfile
     from pdf_ocr_spark.pipeline import run_extraction
     from pdf_ocr_spark.dedup_extracted import dedup_extracted_neardup
     xd = tempfile.mkdtemp(prefix="plans_extract_")
@@ -265,6 +265,10 @@ def main() -> None:
     for name, needles in CHECKS.items():
         header = f"## {name}\n"
         if header not in text:
+            # a vanished section is the WORST regression this gate can
+            # see — skipping it would report green precisely when the
+            # evidence disappeared (review r4)
+            missing.append((name, "<section missing>"))
             continue
         body = text.split(header, 1)[1]
         nxt = body.find("\n## ")

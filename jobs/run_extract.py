@@ -36,16 +36,12 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))))
-    from pyspark.sql import SparkSession
 
-    active = SparkSession.getActiveSession()
-    if active is not None:  # launched via spark-submit
-        spark = active
-        from pdf_ocr_spark.session import ship_package
-        ship_package(spark)
-    else:
-        from pdf_ocr_spark.session import build_session
-        spark = build_session("pdf-ocr-extract")
+    # cluster_session honors a spark-submit-provided master (a plain
+    # script under spark-submit has no pre-created session, so the old
+    # getActiveSession() probe silently fell back to local mode)
+    from pdf_ocr_spark.session import cluster_session
+    spark = cluster_session("pdf-ocr-extract")
 
     from pdf_ocr_spark.pipeline import run_extraction
 

@@ -113,13 +113,18 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from pdf_ocr_spark.fixtures import generate_transcripts
+    from pdf_ocr_spark.fixtures import FIXTURE_VERSION, \
+        generate_transcripts
 
     cache = os.path.join(tempfile.gettempdir(), "pdf_ocr_spark_fixtures")
     os.makedirs(cache, exist_ok=True)
+    # FIXTURE_VERSION in the cache key: a fixture content change must
+    # regenerate this file like every other cached fixture, or the
+    # published scaling number silently measures stale data (review r4)
     fixture = os.path.join(
         cache,
-        f"transcripts_scale_{args.convs}_{args.pool}.parquet")
+        f"transcripts_scale_v{FIXTURE_VERSION}"
+        f"_{args.convs}_{args.pool}.parquet")
     if not os.path.exists(fixture):
         n = generate_transcripts(fixture, tier="bench", n_convs=args.convs,
                                  n_pdf_pool=args.pool,

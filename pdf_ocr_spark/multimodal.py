@@ -104,10 +104,21 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) \
                    "thumb": None, "error": None}
             try:
                 img = decode_media(payload, media_type)
+                if img.size == 0:
+                    # zero-area images: mean() yields NaN (a warning,
+                    # not an exception), so features would be PARTIALLY
+                    # populated with NaN on the error row and poison
+                    # downstream aggregates (review r4)
+                    raise ValueError("zero-area image")
+                # compute into locals, assign only when ALL succeed —
+                # error rows carry null features, never NaN
                 hist = np.bincount(img.ravel() >> 5, minlength=8)
-                rec["mean_intensity"] = float(img.mean())
-                rec["histogram8"] = (hist / img.size).tolist()
-                rec["thumb"] = encode_rawg(resize_block_mean(img, 8, 8))
+                mean_i = float(img.mean())
+                hist8 = (hist / img.size).tolist()
+                thumb = encode_rawg(resize_block_mean(img, 8, 8))
+                rec["mean_intensity"] = mean_i
+                rec["histogram8"] = hist8
+                rec["thumb"] = thumb
             except Exception as e:  # codec missing OR corrupt payload —
                 rec["error"] = f"{type(e).__name__}: {e}"  # error row,
             rows.append(rec)                               # never task fail

@@ -27,6 +27,43 @@ def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
         .appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    )
+    b = _tuned_conf(b)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    ship_package(spark)
+    return spark
+
+
+def cluster_session(app_name: str) -> SparkSession:
+    """Session for spark-submit entrypoints (jobs/*.py).
+
+    A plain Python script under spark-submit has NO active session —
+    only the pyspark shell pre-creates one — so getActiveSession() was
+    never a valid spark-submit detector: the jobs silently fell through
+    to build_session's .master('local[N]'), overriding --master and
+    running the whole job on the driver (review r4). The real signal is
+    the submit-provided conf: when spark.master is already set
+    (--master / spark-defaults), build with the tuned conf block and NO
+    master override so the cluster actually runs the job."""
+    from pyspark import SparkConf
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        ship_package(active)
+        return active
+    if SparkConf().contains("spark.master"):
+        spark = _tuned_conf(
+            SparkSession.builder.appName(app_name)).getOrCreate()
+        ship_package(spark)
+        return spark
+    return build_session(app_name)
+
+
+def _tuned_conf(b):
+    return (
+        b
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Viral-attachment skew in the payload join-back (pipeline.py
@@ -54,11 +91,6 @@ def build_session(app_name: str = "pdf-ocr-spark", cores: int | None = None,
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
-    for k, v in (extra_conf or {}).items():
-        b = b.config(k, v)
-    spark = b.getOrCreate()
-    ship_package(spark)
-    return spark
 
 
 _PKG_ZIP_DIR: str | None = None
