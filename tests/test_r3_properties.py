@@ -148,3 +148,63 @@ def test_merge_fallback_semantics_total(results):
     has_err = any((not r.success) and r.error for r in results)
     assert merged["success"] == (not has_err)
     assert merged["chunks_processed"] == sum(r.success for r in results)
+
+
+_HWORD = st.text(alphabet="abcdefghijklmnop", min_size=3, max_size=8)
+_STRIP = st.sampled_from(["nav", "footer", "header", "aside"])
+
+
+@given(
+    keeps=st.lists(_HWORD, min_size=1, max_size=6, unique=True),
+    drops=st.lists(_HWORD, min_size=0, max_size=4, unique=True),
+    strays=st.lists(st.tuples(st.integers(0, 5), _STRIP), max_size=4),
+)
+@settings(max_examples=150, deadline=None)
+def test_html_strip_containment_property(keeps, drops, strays):
+    """Suppression containment (r4 stack semantics): text inside a
+    well-formed strip container NEVER leaks, body-level block text is
+    NEVER lost, and stray unmatched strip end tags sprinkled anywhere
+    between body blocks change nothing."""
+    from hypothesis import assume
+
+    from pdf_ocr_spark.html_extract import extract_html_blocks
+    assume(not set(keeps) & set(drops))
+    stray_at = {}
+    for pos, tag in strays:
+        stray_at.setdefault(pos % (len(keeps) + 1), []).append(tag)
+    parts = ["<html><body>"]
+    for i, w in enumerate(keeps):
+        for tag in stray_at.get(i, []):
+            parts.append(f"</{tag}>")           # unmatched end tag
+        parts.append(f"<p>{w}</p>")
+        if i < len(drops):
+            parts.append(f"<nav><div>{drops[i]}</div></nav>")
+    for tag in stray_at.get(len(keeps), []):
+        parts.append(f"</{tag}>")
+    for w in drops[len(keeps):]:
+        parts.append(f"<aside>{w}</aside>")
+    parts.append("</body></html>")
+    blocks = extract_html_blocks("".join(parts), repeat_threshold=99)
+    assert blocks == list(keeps)
+
+
+@given(
+    words=st.lists(_HWORD, min_size=1, max_size=5, unique=True),
+    container=_STRIP,
+    close_head=st.booleans(),
+)
+@settings(max_examples=100, deadline=None)
+def test_html_unclosed_container_recovery_property(words, container,
+                                                   close_head):
+    """An unclosed boilerplate container that swallows everything
+    triggers the hard-only fallback, and an unclosed <head> (with or
+    without </head>) never suppresses body content."""
+    from pdf_ocr_spark.html_extract import extract_html_blocks
+    head = "<head><meta charset='x'>" + ("</head>" if close_head else "")
+    body = "".join(f"<p>{w}</p>" for w in words)
+    # unclosed container before ALL content: full parse sees nothing,
+    # fallback recovers every block
+    doc = f"<html>{head}<body><{container}>menu " + body + "</html>"
+    blocks = extract_html_blocks(doc, repeat_threshold=99)
+    for w in words:
+        assert any(w in b for b in blocks)
