@@ -41,7 +41,7 @@ HEADLINE_QUERIES = [
     # late-r4: DSIR hashed-ngram importance weights, MinHash corpus
     # overlap matrix, TF-IDF keyword extraction
     "dsir_weights", "corpus_similarity", "tfidf_top_terms",
-    "cardinality_estimate",
+    "cardinality_estimate", "lm_perplexity_bigram",
 ]
 
 
@@ -179,7 +179,7 @@ def main() -> None:
                 "repetition_stats", "line_dedup", "semdedup",
                 "substring_dedup", "bm25_topk", "lm_perplexity",
                 "dsir_weights", "corpus_similarity", "tfidf_top_terms",
-                "cardinality_estimate"}
+                "cardinality_estimate", "lm_perplexity_bigram"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

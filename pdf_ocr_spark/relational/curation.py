@@ -701,9 +701,110 @@ FROM S ORDER BY doc_id
 """
 
 
+LM_BIGRAM_LAMBDA = 0.7   # interpolation weight on the bigram MLE
+LM_BIGRAM_NLL_THRESHOLD = 3.416  # ~p90 at sf0.01 (measured: median
+#                                  3.3878, p90 3.4160, max 3.6378 — the
+#                                  synthetic word-soup corpus has
+#                                  near-independent tokens, so the
+#                                  bigram gain over the unigram LM is
+#                                  small HERE; on real text the
+#                                  conditional model separates far more)
+
+
+def q_lm_perplexity_bigram(spark, sf_dir,
+                           lam: float = LM_BIGRAM_LAMBDA):
+    """Interpolated-bigram LM quality filter — the next rung of the
+    KenLM ladder the unigram op (q_lm_perplexity) documents:
+    p(w_i | w_{i-1}) = lam * MLE_bigram + (1-lam) * MLE_unigram, first
+    token scored by the unigram alone; per-doc mean NLL and a
+    high-perplexity flag at the measured p90. Production scores
+    held-out text where the unigram interpolation IS the backoff; the
+    self-trained gate corpus always has the bigram, the interpolation
+    still separates formulaic from unusual word order.
+
+    Scale shape: positions stay IN-ROW (one transform->explode carrying
+    (tok, prev) structs — no self-join on position, no lag window);
+    unigram/bigram/context counts are three map-side-combinable aggs;
+    scoring is hash joins on tok and (prev, tok) — vocab- and
+    vocab^2-bounded sides AQE broadcasts when small; one final agg."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    pos_expr = (
+        "transform(sequence(1, size(w)), i -> struct("
+        "element_at(w, i) AS tok, "
+        "CASE WHEN i > 1 THEN element_at(w, i - 1) END AS prev))")
+    p = (base.select("doc_id", F.explode(F.expr(pos_expr)).alias("s"))
+         .select("doc_id", "s.tok", "s.prev"))
+    total = p.agg(F.count("*").alias("n"))
+    uni = (p.groupBy("tok").agg(F.count("*").alias("ucnt"))
+           .crossJoin(F.broadcast(total))
+           .select("tok", (F.col("ucnt") / F.col("n")).alias("p_uni")))
+    big = (p.filter(F.col("prev").isNotNull())
+           .groupBy("prev", "tok").agg(F.count("*").alias("bcnt")))
+    ctx = big.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    scored = (p.join(uni, "tok")
+              .join(big, ["prev", "tok"], "left")
+              .join(ctx, "prev", "left")
+              .select("doc_id", F.when(
+                  F.col("prev").isNull(), F.col("p_uni")).otherwise(
+                  lam * F.coalesce(F.col("bcnt") / F.col("ccnt"),
+                                   F.lit(0.0))
+                  + (1.0 - lam) * F.col("p_uni")).alias("prob")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tok"),
+                 round6(F.avg(-F.log("prob"))).alias("avg_nll"))
+            .select("doc_id", "n_tok", "avg_nll",
+                    (F.col("avg_nll") > LM_BIGRAM_NLL_THRESHOLD)
+                    .alias("high_perplexity"))
+            .orderBy("doc_id"))
+
+
+SQL_LM_PERPLEXITY_BIGRAM = f"""
+WITH B AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+P AS (
+  SELECT doc_id, w[i] AS tok,
+         CASE WHEN i > 1 THEN w[i - 1] END AS prev
+  FROM B, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)
+),
+tot AS (SELECT count(*) AS n FROM P),
+uni AS (
+  SELECT tok, count(*) / n::DOUBLE AS p_uni
+  FROM P, tot GROUP BY tok, n
+),
+big AS (
+  SELECT prev, tok, count(*) AS bcnt FROM P
+  WHERE prev IS NOT NULL GROUP BY prev, tok
+),
+ctx AS (SELECT prev, sum(bcnt) AS ccnt FROM big GROUP BY prev),
+s AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prev IS NULL THEN u.p_uni
+              ELSE {LM_BIGRAM_LAMBDA} *
+                   coalesce(b.bcnt / c.ccnt::DOUBLE, 0.0)
+                   + (1.0 - {LM_BIGRAM_LAMBDA}) * u.p_uni END AS prob
+  FROM P p
+  JOIN uni u USING (tok)
+  LEFT JOIN big b ON b.prev = p.prev AND b.tok = p.tok
+  LEFT JOIN ctx c ON c.prev = p.prev
+),
+a AS (
+  SELECT doc_id, count(*) AS n_tok,
+         {sql_round6('avg(-ln(prob))')} AS avg_nll
+  FROM s GROUP BY doc_id
+)
+SELECT doc_id, n_tok, avg_nll,
+       (avg_nll > {LM_BIGRAM_NLL_THRESHOLD}) AS high_perplexity
+FROM a ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
+    "lm_perplexity_bigram": (q_lm_perplexity_bigram,
+                             SQL_LM_PERPLEXITY_BIGRAM),
     "substring_dedup": (q_substring_dedup, SQL_SUBSTRING_DEDUP),
     "lm_perplexity": (q_lm_perplexity, SQL_LM_PERPLEXITY),
     "line_dedup": (q_line_dedup, SQL_LINE_DEDUP),

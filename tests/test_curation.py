@@ -348,3 +348,47 @@ def test_substring_dedup_short_doc_passthrough(spark, tmp_path):
         assert got.loc[did].n_dup_tokens == SUBSTR_K
         assert got.loc[did].cleaned_md5 == \
             hashlib.md5(tail.encode()).hexdigest()
+
+
+def test_lm_perplexity_bigram_semantics(spark):
+    import math
+    from collections import Counter
+
+    from pdf_ocr_spark.relational.curation import (
+        LM_BIGRAM_LAMBDA, LM_BIGRAM_NLL_THRESHOLD, q_lm_perplexity_bigram)
+    got = q_lm_perplexity_bigram(spark, SF).toPandas().set_index("doc_id")
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "text").toPandas().set_index("doc_id"))
+    assert len(got) == len(docs)
+    assert (got.avg_nll > 0).all()
+    assert ((got.avg_nll > LM_BIGRAM_NLL_THRESHOLD)
+            == got.high_perplexity).all()
+    # driver-side recompute: interpolated bigram/unigram NLL
+    uni, big, ctx = Counter(), Counter(), Counter()
+    total = 0
+    for text in docs.text:
+        w = text.split(" ")
+        uni.update(w)
+        total += len(w)
+        big.update(zip(w, w[1:]))
+        ctx.update(w[:-1])
+    for did in list(docs.index)[:3]:
+        w = docs.loc[did].text.split(" ")
+        nll = -math.log(uni[w[0]] / total)
+        for a, b in zip(w, w[1:]):
+            p = (LM_BIGRAM_LAMBDA * big[(a, b)] / ctx[a]
+                 + (1 - LM_BIGRAM_LAMBDA) * uni[b] / total)
+            nll += -math.log(p)
+        want = nll / len(w)
+        assert abs(got.loc[did].avg_nll - want) < 1e-6
+        assert got.loc[did].n_tok == len(w)
+
+
+def test_lm_perplexity_bigram_plan(spark):
+    """Positions stay in-row (no lag window, no position self-join);
+    no cartesian, no Python UDF."""
+    from pdf_ocr_spark.relational.curation import q_lm_perplexity_bigram
+    plan = _plan(q_lm_perplexity_bigram(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan  # no lag window: positions in-row
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
