@@ -45,6 +45,8 @@ CHECKS = {
     "corpus_similarity": ["partial_min", "BroadcastNestedLoopJoin"],
     # the sketch path is the same partial min-agg
     "cardinality_estimate": ["partial_min"],
+    # positions in-row: count aggs + hash joins, never a lag window
+    "lm_perplexity_bigram": ["HashAggregate"],
 }
 
 
@@ -202,13 +204,21 @@ def main() -> None:
             "count(distinct) in this query exists only to exhibit the "
             "estimator's error at gate scale; the production call "
             "drops it and the whole op is one map-side-combinable agg.",
+        "lm_perplexity_bigram":
+            "Interpolated-bigram LM: token positions stay IN-ROW (one "
+            "transform->explode of (tok, prev) structs — no lag window, "
+            "no position self-join, no WindowExec anywhere); the "
+            "unigram/bigram/context LMs are three map-side-combinable "
+            "counts; scoring is hash joins on tok and (prev, tok), "
+            "vocab-bounded sides AQE broadcasts when small.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
                  "dedup_ngram_jaccard", "reading_order", "corpus_pack",
                  "contamination_check", "line_dedup", "semdedup",
                  "substring_dedup", "bm25_topk", "dsir_weights",
-                 "corpus_similarity", "cardinality_estimate"):
+                 "corpus_similarity", "cardinality_estimate",
+                 "lm_perplexity_bigram"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
