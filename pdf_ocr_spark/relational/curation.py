@@ -113,13 +113,14 @@ def q_contamination_check(spark, sf_dir, eval_grams=None):
     Scale shape: the ``F.broadcast`` hint encodes the PRODUCTION
     contract — the eval side is a fixed benchmark suite's gram hashes
     (a few MB at any corpus scale), passed in via ``eval_grams`` (an
-    (h,) frame of 60-bit gram hashes). The default derives a pseudo-eval
-    set from the corpus's own CONTAM_EVAL_PCT split buckets so the op
-    is self-contained at gate scale; that derived side is a corpus
-    FRACTION, so at real scale pass the genuine benchmark set (or the
-    broadcast hint must go). The training side is one distinct-shuffle
-    plus one aggregation; grams compare by the portable 60-bit md5 hash
-    (identical in the oracle), so the broadcast ships longs, not
+    (h,) frame of 60-bit gram hashes) — and is applied ONLY in that
+    caller-supplied case. The default derives a pseudo-eval set from
+    the corpus's own CONTAM_EVAL_PCT split buckets so the op is
+    self-contained at gate scale; that derived side is a corpus
+    FRACTION, so it gets no hint and AQE sizes the join at runtime
+    (ADVICE r4). The training side is one distinct-shuffle plus one
+    aggregation; grams compare by the portable 60-bit md5 hash
+    (identical in the oracle), so a broadcast ships longs, not
     strings."""
     d = t(spark, sf_dir, "documents")
     bucket = salted_mod("doc_id", "split:", 100)
@@ -130,6 +131,12 @@ def q_contamination_check(spark, sf_dir, eval_grams=None):
                      F.explode(F.expr(_GRAM5_EXPR)).alias("s"))
              .select("doc_id", "b", hash60("s").alias("h"))
              .distinct())
+    # the broadcast hint is the FIXED-SIZE benchmark contract: apply it
+    # only when the caller supplied the eval set. The self-derived
+    # default is a fraction of the corpus itself — broadcasting it would
+    # OOM the executors at the 100-TB shape, so there the optimizer
+    # (AQE) picks the join strategy from observed sizes (ADVICE r4)
+    fixed_size_eval = eval_grams is not None
     if eval_grams is None:
         eval_grams = grams.filter(F.col("b") >= 100 - CONTAM_EVAL_PCT)
     # distinct UNCONDITIONALLY: a caller-supplied benchmark union can
@@ -137,8 +144,10 @@ def q_contamination_check(spark, sf_dir, eval_grams=None):
     # join — double-counting n_contaminated AND inflating n_grams past
     # the doc's distinct gram count (frac > 1.0)
     eval_h = eval_grams.select("h").distinct().withColumn("hit", F.lit(1))
+    if fixed_size_eval:
+        eval_h = F.broadcast(eval_h)
     train = grams.filter(F.col("b") < 100 - CONTAM_EVAL_PCT)
-    scored = (train.join(F.broadcast(eval_h), "h", "left")
+    scored = (train.join(eval_h, "h", "left")
               .groupBy("doc_id")
               .agg(F.count("*").alias("n_grams"),
                    F.sum(F.coalesce("hit", F.lit(0)))

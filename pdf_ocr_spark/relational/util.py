@@ -225,11 +225,25 @@ def _cc_two_phase(nodes: DataFrame, edges: DataFrame,
          .localCheckpoint(eager=False))
 
     def _probe(df):
+        # (count, sum u, sum v, order-independent content checksum).
+        # The xxhash64 sum is a set invariant over the DISTINCT edge set:
+        # two different edge sets colliding on count+sums+checksum is a
+        # ~2^-64 event, unlike the r4 probe (count + coordinate sums)
+        # where distinct consecutive edge sets could collide and cause a
+        # premature exit with non-fixpoint labels (ADVICE r4).
         r = df.agg(
             F.count(F.lit(1)),
             F.sum(F.col("u").cast("decimal(38,0)")),
-            F.sum(F.col("v").cast("decimal(38,0)"))).collect()[0]
-        return (r[0], r[1], r[2])
+            F.sum(F.col("v").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).collect()[0]
+        return (r[0], r[1], r[2], r[3])
+
+    def _is_star_forest(df):
+        # at a true large-star/small-star fixpoint every u keeps exactly
+        # one parent edge; a repeated probe value on a non-fixpoint set
+        # would fail this structural check and iteration continues
+        multi = df.groupBy("u").count().filter(F.col("count") > 1).limit(1)
+        return multi.count() == 0
 
     prev = _probe(e)
     converged = prev[0] == 0  # edgeless graph: all-singleton fixpoint
@@ -255,7 +269,7 @@ def _cc_two_phase(nodes: DataFrame, edges: DataFrame,
              .distinct()
              .localCheckpoint(eager=False))
         cur = _probe(e)
-        if cur == prev:
+        if cur == prev and _is_star_forest(e):
             converged = True
             break
         prev = cur

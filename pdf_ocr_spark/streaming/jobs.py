@@ -81,8 +81,12 @@ def conversation_state_stats(
         for batch in pdfs:
             texts = batch["text"].fillna("")  # NULL-safe prefix counters
             n_turns += len(batch)
-            n_pdf += int(texts.str.startswith("JVBERi").sum())
-            heads = texts.str.lstrip().str.slice(0, 15).str.lower()
+            # lstrip like the engine's routing (detector.detect_payload_kind
+            # / extract.route_kinds): a '\nJVBERi...' turn extracts as pdf
+            # and must count as pdf here too (ADVICE r4)
+            stripped = texts.str.lstrip()
+            n_pdf += int(stripped.str.startswith("JVBERi").sum())
+            heads = stripped.str.slice(0, 15).str.lower()
             n_html += int((heads.str.startswith("<!doctype html")
                            | heads.str.startswith("<html")).sum())
             n_chars += int(texts.str.len().sum())
@@ -116,10 +120,14 @@ def stream_method_counts(
     # (extract.py html routing): F.ltrim strips spaces only, so a
     # '\n<html>' turn would route html in extraction but count as
     # 'plain' here and the monitoring would diverge (review)
-    stripped = F.lower(F.regexp_replace(F.col("text"), r"^\s+", ""))
+    stripped_raw = F.regexp_replace(F.col("text"), r"^\s+", "")
+    stripped = F.lower(stripped_raw)
     kind = (
         F.when(F.col("text").isNull(), "null")
-        .when(F.col("text").startswith("JVBERi"), "pdf")
+        # case-sensitive base64 prefix on the STRIPPED text — same lstrip
+        # the engine's routing applies, so pdf counts match extraction
+        # for whitespace-prefixed payloads too (ADVICE r4)
+        .when(stripped_raw.startswith("JVBERi"), "pdf")
         .when(stripped.startswith("<!doctype html")
               | stripped.startswith("<html"), "html")
         .otherwise("plain"))
