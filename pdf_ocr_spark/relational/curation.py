@@ -190,17 +190,58 @@ FROM scored WHERE n_contaminated > 0 ORDER BY doc_id
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+# bounded-octet IPv4: rejects 999.1.1.1 without matching a suffix of it
+IP_RE = (r"\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+         r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b")
+# payment-card SHAPE: 13-19 digits with optional single space/dash
+# separators. Redaction is shape-based (conservative scrubbing: a
+# mistyped card number is still worth removing); the n_ccs COUNT is
+# Luhn-validated so monitoring reflects real card exposure.
+CC_RE = r"\b\d(?:[ -]?\d){12,18}\b"
+# API-key-shaped tokens: common prefix + >=16 token chars
+KEY_RE = r"\b(?:sk|pk|api|key)_[A-Za-z0-9]{16,}\b"
+
+# known-good/bad Luhn test numbers planted by the gate fixture (public
+# test-card numbers; one space-separated to exercise separator handling)
+_CC_VALID = ("4111111111111111", "5500 0055 5555 5559")
+_CC_INVALID = "4111-1111-1111-1112"
+
+
+def _luhn_count_expr(col: str, cc_sql: str) -> str:
+    """Spark SQL expression: count of Luhn-VALID card-shaped candidates
+    in ``col``. Digits d (left->right): weight by (len-1-i) % 2 — the
+    rightmost digit (check digit) is added as-is, every second digit
+    moving left is doubled (minus 9 when > 9); valid iff sum % 10 == 0.
+    Same formulation as the DuckDB twin (range/(len(d)-i) there,
+    0-based transform index here). Nested higher-order functions stay
+    inside whole-stage codegen — no UDF."""
+    digits = f"filter(split(s, ''), c2 -> c2 rlike '[0-9]')"
+    return f"""
+size(filter(regexp_extract_all({col}, '{cc_sql}', 0),
+  s -> (aggregate(
+          transform({digits},
+            (c, i) -> CASE WHEN (size({digits}) - 1 - i) % 2 = 0
+                      THEN int(c)
+                      ELSE IF(int(c)*2 > 9, int(c)*2 - 9, int(c)*2) END),
+          0, (a, x) -> a + x) % 10) = 0))
+"""
 
 
 def q_pii_redact(spark, sf_dir):
-    """PII scrub with exact counts: plant deterministic email/phone spans
-    (every 7th / 11th doc_id — the driver tables carry no organic PII),
-    then redact with the production regexes and return per-doc counts
-    plus the md5 of the scrubbed text.
+    """PII scrub with exact counts: plant deterministic email / phone /
+    IPv4 / credit-card / API-key spans (every 7th / 11th / 5th / 13th /
+    19th doc_id; every 17th gets a Luhn-INVALID card — the driver tables
+    carry no organic PII), then redact with the production regexes and
+    return per-doc counts plus the md5 of the scrubbed text.
 
-    Scale shape: pure map-side regex work in whole-stage codegen — no
-    shuffle, no UDF; the md5 column is what a real pipeline would write
-    back for audit lineage."""
+    Counts: n_ccs counts only Luhn-VALID card candidates (nested
+    higher-order-function checksum, no UDF); redaction of card-shaped
+    spans is conservative (shape-based) so the invalid plant is scrubbed
+    but not counted.
+
+    Scale shape: pure map-side regex + array work in whole-stage
+    codegen — no shuffle, no UDF; the md5 column is what a real pipeline
+    would write back for audit lineage."""
     d = t(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("long")
     planted = F.concat(
@@ -214,25 +255,68 @@ def q_pii_redact(spark, sf_dir):
                         F.lpad((did % 900 + 100).cast("string"), 3, "0"),
                         F.lit("-555-"),
                         F.lpad((did % 10000).cast("string"), 4, "0")))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0,
+               F.concat(F.lit(" src 10."), (did % 200).cast("string"),
+                        F.lit("."), (did % 250).cast("string"),
+                        F.lit("."), (did % 100).cast("string")))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.concat(F.lit(" pay "),
+                        F.when(did % 2 == 0, F.lit(_CC_VALID[0]))
+                        .otherwise(F.lit(_CC_VALID[1])),
+                        F.lit(" ok")))
+        .otherwise(F.lit("")),
+        F.when(did % 17 == 0,
+               F.concat(F.lit(" ref "), F.lit(_CC_INVALID), F.lit(" end")))
+        .otherwise(F.lit("")),
+        F.when(did % 19 == 0,
+               F.concat(F.lit(" token sk_"),
+                        F.substring(F.md5(did.cast("string")), 1, 20)))
         .otherwise(F.lit("")))
     # Spark SQL string literals eat one level of backslashes
     email_sql = EMAIL_RE.replace("\\", "\\\\")
     phone_sql = PHONE_RE.replace("\\", "\\\\")
+    ip_sql = IP_RE.replace("\\", "\\\\")
+    cc_sql = CC_RE.replace("\\", "\\\\")
+    key_sql = KEY_RE.replace("\\", "\\\\")
     base = d.select("doc_id", planted.alias("ptext"))
-    n_emails = F.expr(
-        f"size(regexp_extract_all(ptext, '{email_sql}', 0))")
-    n_phones = F.expr(
-        f"size(regexp_extract_all(ptext, '{phone_sql}', 0))")
+
+    def _n(pat_sql):
+        return F.expr(f"size(regexp_extract_all(ptext, '{pat_sql}', 0))")
+
     redacted = F.regexp_replace(
-        F.regexp_replace("ptext", EMAIL_RE, "<EMAIL>"),
-        PHONE_RE, "<PHONE>")
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("ptext", EMAIL_RE, "<EMAIL>"),
+                    PHONE_RE, "<PHONE>"),
+                IP_RE, "<IP>"),
+            CC_RE, "<CC>"),
+        KEY_RE, "<KEY>")
     return (base.select(
         "doc_id",
-        n_emails.alias("n_emails"),
-        n_phones.alias("n_phones"),
+        _n(email_sql).alias("n_emails"),
+        _n(phone_sql).alias("n_phones"),
+        _n(ip_sql).alias("n_ips"),
+        F.expr(_luhn_count_expr("ptext", cc_sql)).alias("n_ccs"),
+        _n(key_sql).alias("n_keys"),
         F.md5(redacted).alias("redacted_md5"))
         .orderBy("doc_id"))
 
+
+# DuckDB Luhn twin: 1-based list index i, weight by (len(d)-i) % 2 —
+# same rightmost-anchored parity as the Spark expression
+_SQL_LUHN_DIGITS = "list_transform(regexp_extract_all(s, '[0-9]'), x -> x::INT)"
+_SQL_LUHN_COUNT = f"""
+len(list_filter(regexp_extract_all(ptext, '{CC_RE}'),
+  s -> (list_sum(list_transform(range(1, len({_SQL_LUHN_DIGITS})+1),
+        i -> CASE WHEN (len({_SQL_LUHN_DIGITS})-i) % 2 = 0
+                  THEN {_SQL_LUHN_DIGITS}[i]
+                  ELSE CASE WHEN {_SQL_LUHN_DIGITS}[i]*2 > 9
+                            THEN {_SQL_LUHN_DIGITS}[i]*2-9
+                            ELSE {_SQL_LUHN_DIGITS}[i]*2 END END)) % 10 = 0)))
+"""
 
 SQL_PII_REDACT = f"""
 WITH p AS (
@@ -244,14 +328,37 @@ WITH p AS (
          || CASE WHEN doc_id % 11 = 0
                  THEN ' call ' || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0')
                       || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' src 10.' || (doc_id % 200)::VARCHAR
+                      || '.' || (doc_id % 250)::VARCHAR
+                      || '.' || (doc_id % 100)::VARCHAR
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' pay ' || CASE WHEN doc_id % 2 = 0
+                                      THEN '{_CC_VALID[0]}'
+                                      ELSE '{_CC_VALID[1]}' END || ' ok'
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' ref {_CC_INVALID} end'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' token sk_' || substr(md5(doc_id::VARCHAR), 1, 20)
                  ELSE '' END AS ptext
   FROM documents
 )
 SELECT doc_id,
        len(regexp_extract_all(ptext, '{EMAIL_RE}')) AS n_emails,
        len(regexp_extract_all(ptext, '{PHONE_RE}')) AS n_phones,
-       md5(regexp_replace(regexp_replace(ptext, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+       len(regexp_extract_all(ptext, '{IP_RE}')) AS n_ips,
+       {_SQL_LUHN_COUNT} AS n_ccs,
+       len(regexp_extract_all(ptext, '{KEY_RE}')) AS n_keys,
+       md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(ptext, '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IP_RE}', '<IP>', 'g'),
+             '{CC_RE}', '<CC>', 'g'),
+             '{KEY_RE}', '<KEY>', 'g')) AS redacted_md5
 FROM p ORDER BY doc_id
 """
 

@@ -10,7 +10,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from pdf_ocr_spark.relational.curation import (
-    CONTAM_EVAL_PCT, EMAIL_RE, PHONE_RE,
+    CC_RE, CONTAM_EVAL_PCT, EMAIL_RE, IP_RE, KEY_RE, PHONE_RE,
+    _CC_INVALID, _CC_VALID, _luhn_count_expr,
     q_contamination_check, q_json_props_agg, q_pii_redact,
     q_repetition_stats)
 
@@ -60,11 +61,44 @@ def test_contamination_check_semantics(spark):
 
 
 def test_contamination_check_broadcasts_eval_side(spark):
-    """The eval gram set is benchmark-sized at any corpus scale: the join
-    must be a broadcast hash join, never a shuffle or cartesian."""
-    plan = _plan(q_contamination_check(spark, SF))
+    """The broadcast hint encodes the fixed-size-benchmark contract: it
+    applies ONLY when the caller supplies eval_grams; the self-derived
+    default is corpus-fraction-sized, so no hint is forced and AQE sizes
+    the join (ADVICE r4). Neither path may go cartesian."""
+    supplied = spark.createDataFrame(
+        [(1,), (2,), (3,)], "h long")
+    plan = _plan(q_contamination_check(spark, SF, eval_grams=supplied))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    default_plan = _plan(q_contamination_check(spark, SF))
+    assert "CartesianProduct" not in default_plan
+    assert "BroadcastNestedLoop" not in default_plan
+    # no FORCED broadcast of the corpus-derived side: the optimized plan
+    # must not carry a broadcast hint on the eval subtree (AQE may still
+    # pick broadcast at runtime from observed sizes, which is the point)
+    assert "ResolvedHint" not in default_plan
+
+
+def _plant(did: int, text: str) -> str:
+    """Python twin of the deterministic plant expressions in
+    q_pii_redact / SQL_PII_REDACT (kept in sync by the md5 pin below)."""
+    import hashlib
+    out = text
+    if did % 7 == 0:
+        out += f" contact user{did}@example.com"
+    if did % 11 == 0:
+        out += f" call {did % 900 + 100:03d}-555-{did % 10000:04d}"
+    if did % 5 == 0:
+        out += f" src 10.{did % 200}.{did % 250}.{did % 100}"
+    if did % 13 == 0:
+        out += " pay " + (_CC_VALID[0] if did % 2 == 0
+                          else _CC_VALID[1]) + " ok"
+    if did % 17 == 0:
+        out += f" ref {_CC_INVALID} end"
+    if did % 19 == 0:
+        out += " token sk_" + hashlib.md5(
+            str(did).encode()).hexdigest()[:20]
+    return out
 
 
 def test_pii_redact_counts_and_scrub(spark):
@@ -74,6 +108,10 @@ def test_pii_redact_counts_and_scrub(spark):
     for did in docs:
         assert got.loc[did, "n_emails"] == (1 if did % 7 == 0 else 0)
         assert got.loc[did, "n_phones"] == (1 if did % 11 == 0 else 0)
+        assert got.loc[did, "n_ips"] == (1 if did % 5 == 0 else 0)
+        # Luhn-validated count: the %17 INVALID plant must NOT count
+        assert got.loc[did, "n_ccs"] == (1 if did % 13 == 0 else 0)
+        assert got.loc[did, "n_keys"] == (1 if did % 19 == 0 else 0)
     # scrub completeness: re-apply the production regexes python-side to a
     # sample of planted texts and pin the md5 the query reported
     import hashlib
@@ -83,13 +121,48 @@ def test_pii_redact_counts_and_scrub(spark):
     assert len(sample) > 0
     for _, r in sample.iterrows():
         did = int(r.doc_id)
-        planted = r.text + f" contact user{did}@example.com" \
-            + f" call {did % 900 + 100:03d}-555-{did % 10000:04d}"
-        red = re.sub(EMAIL_RE, "<EMAIL>", planted)
-        red = re.sub(PHONE_RE, "<PHONE>", red)
-        assert not re.search(EMAIL_RE, red) and not re.search(PHONE_RE, red)
+        red = _plant(did, r.text)
+        for pat, repl in ((EMAIL_RE, "<EMAIL>"), (PHONE_RE, "<PHONE>"),
+                          (IP_RE, "<IP>"), (CC_RE, "<CC>"),
+                          (KEY_RE, "<KEY>")):
+            red = re.sub(pat, repl, red)
+        for pat in (EMAIL_RE, PHONE_RE, IP_RE, CC_RE, KEY_RE):
+            assert not re.search(pat, red)
         assert got.loc[did, "redacted_md5"] == \
             hashlib.md5(red.encode()).hexdigest()
+
+
+def test_pii_extended_patterns_adversarial(spark):
+    """Adversarial rows for the r5 pattern extensions: out-of-range IPv4
+    octets, Luhn-invalid cards, separator-variant valid cards, too-short
+    API keys, and a phone number that must NOT read as a card."""
+    rows = [
+        ("bad ip 999.1.1.1 ok",           0, 0, 0),   # octet > 255
+        ("edge ip 255.255.255.255",       1, 0, 0),
+        ("valid cc 4111111111111111",     0, 1, 0),
+        ("valid cc 5500 0055 5555 5559",  0, 1, 0),
+        ("valid cc 4111-1111-1111-1111",  0, 1, 0),   # dash separators
+        ("invalid cc 4111111111111112",   0, 0, 0),   # Luhn fails
+        ("short 123-456-7890 num",        0, 0, 0),   # phone shape, <13
+        ("key sk_0123456789abcdef01",     0, 0, 1),
+        ("short key sk_0123456789",       0, 0, 0),   # <16 token chars
+        ("key api_ABCDEFGHIJKLMNOPQR",    0, 0, 1),
+    ]
+    df = spark.createDataFrame([(t,) for t, *_ in rows], "ptext string")
+    ip_sql = IP_RE.replace("\\", "\\\\")
+    key_sql = KEY_RE.replace("\\", "\\\\")
+    cc_sql = CC_RE.replace("\\", "\\\\")
+    got = df.select(
+        "ptext",
+        F.expr(f"size(regexp_extract_all(ptext, '{ip_sql}', 0))")
+        .alias("n_ips"),
+        F.expr(_luhn_count_expr("ptext", cc_sql)).alias("n_ccs"),
+        F.expr(f"size(regexp_extract_all(ptext, '{key_sql}', 0))")
+        .alias("n_keys")).toPandas().set_index("ptext")
+    for text, n_ip, n_cc, n_key in rows:
+        assert got.loc[text, "n_ips"] == n_ip, text
+        assert got.loc[text, "n_ccs"] == n_cc, text
+        assert got.loc[text, "n_keys"] == n_key, text
 
 
 def test_pii_redact_is_map_side(spark):
