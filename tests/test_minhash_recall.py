@@ -621,3 +621,57 @@ def test_cardinality_estimate_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_min" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_max_group_pairs_caps_intra_expansion(spark, tmp_path, caplog):
+    """VERDICT r4 #5: pair-output semantics are quadratic per duplicate
+    group by definition. ``max_group_pairs`` bounds the intra-group
+    expansion (deterministically — lowest doc_ids survive) with a logged
+    warning; inter-group fan-out and groups under the cap are untouched;
+    the cluster-label form stays linear (one row per doc) and is NOT
+    affected by any cap."""
+    import logging
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_ocr_spark.relational.dedup import (
+        q_dedup_clusters, q_dedup_minhash)
+
+    text_a = " ".join(f"viral{i:02d}" for i in range(40))
+    words_b = text_a.split(" ")
+    words_b[20] = "mutated"
+    text_b = " ".join(words_b)
+    # 30 copies of A (ids 0-29), 4 copies of near-dup B (30-33),
+    # 2 unrelated distinct docs (34-35)
+    docs = [text_a] * 30 + [text_b] * 4 + [
+        " ".join(f"x{d}y{i:02d}" for i in range(40)) for d in range(2)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    uncapped = q_dedup_minhash(spark, str(tmp_path)).toPandas()
+    # intra A 435 + intra B 6 + inter A-B fan-out 120
+    assert len(uncapped) == 30 * 29 // 2 + 4 * 3 // 2 + 30 * 4
+
+    with caplog.at_level(logging.WARNING,
+                         logger="pdf_ocr_spark.relational.dedup"):
+        capped = q_dedup_minhash(spark, str(tmp_path),
+                                 max_group_pairs=10).toPandas()
+    assert any("max_group_pairs" in r.message for r in caplog.records)
+    # m_cap = 5: group A intra capped at C(5,2)=10 (lowest ids 0-4);
+    # group B (4 <= m_cap) keeps all 6; inter fan-out NOT capped
+    assert len(capped) == 10 + 6 + 30 * 4
+    intra_a = capped[(capped.doc_a < 30) & (capped.doc_b < 30)]
+    assert len(intra_a) == 10
+    assert intra_a.doc_a.max() <= 4 and intra_a.doc_b.max() <= 4
+    inter = capped[(capped.doc_a < 30) & (capped.doc_b >= 30)
+                   & (capped.doc_b < 34)]
+    assert len(inter) == 120
+
+    # the linear production form: one row per doc, viral group intact
+    cl = q_dedup_clusters(spark, str(tmp_path)).toPandas()
+    assert len(cl) == len(docs)
+    assert (cl[cl.doc_id < 34].cluster_id == 0).all()
+    assert (cl[cl.doc_id >= 34].cluster_id == cl[cl.doc_id >= 34].doc_id) \
+        .all()
