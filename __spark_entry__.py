@@ -158,6 +158,19 @@ def _dedup_extracted_neardup_query(spark: SparkSession,
     return dedup_extracted_neardup(_extracted_frame(spark))
 
 
+def _semdedup_extracted_query(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Rows-only check (extraction + iterative k-means inside are
+    non-SQL-expressible): SemDeDup over the pipeline's own extracted
+    text using the deterministic signed hashed-gram embedding
+    (pdf_ocr_spark/embed.py) — the paraphrase-class near-dup pass the
+    MinHash path structurally misses. Equality pinned by
+    tests/test_dedup_extracted.py."""
+    from pdf_ocr_spark.dedup_extracted import semdedup_extracted
+
+    return semdedup_extracted(_extracted_frame(spark))
+
+
 def _dedup_extracted_clusters_query(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Rows-only check: keep-one-per-cluster labels (connected
@@ -187,6 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_extracted_exact"] = _dedup_extracted_exact_query
     out["dedup_extracted_neardup"] = _dedup_extracted_neardup_query
     out["dedup_extracted_clusters"] = _dedup_extracted_clusters_query
+    out["semdedup_extracted"] = _semdedup_extracted_query
     out["curate_corpus"] = _curate_corpus_query
     return out
 

@@ -124,12 +124,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # --- relational suite ----------------------------------------------
+    # per-query best-of-N (VERDICT r4 #7): round-over-round artifacts on
+    # this shared host swung 2-4x with neighbor load; the min of 2 trials
+    # is the least-interference measurement and the per-trial list keeps
+    # the artifact honest about the spread. BENCH_TRIALS=1 restores the
+    # one-shot form.
+    n_trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
+    query_trials: dict[str, list[float]] = {}
     for name in names:
         fn = registry[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.collect()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_trials):
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            runs.append(round(time.time() - t0, 3))
+        query_trials[name] = runs
+        timings[name] = min(runs)
 
     # --- composed: dedup over the pipeline's OWN extracted output ------
     # (r4) timed separately from the headline so round-over-round
@@ -139,7 +149,7 @@ def main() -> None:
     composed: dict[str, float] = {}
     from pdf_ocr_spark.dedup_extracted import (
         dedup_extracted_clusters, dedup_extracted_exact,
-        dedup_extracted_neardup,
+        dedup_extracted_neardup, semdedup_extracted,
     )
     from pdf_ocr_spark.fixtures import FIXTURE_VERSION, \
         generate_transcripts
@@ -161,6 +171,7 @@ def main() -> None:
         for cname, cfn in (("exact", dedup_extracted_exact),
                            ("neardup", dedup_extracted_neardup),
                            ("clusters", dedup_extracted_clusters),
+                           ("semdedup", semdedup_extracted),
                            ("curate", curate_corpus)):
             t0 = time.time()
             cfn(ext).count()
@@ -192,6 +203,8 @@ def main() -> None:
         "suite": ["extract_transcripts"] + names,
         "value_r3_comparable_suite": comparable,
         "queries": timings,
+        "query_trials": query_trials,
+        "bench_trials": n_trials,
         "sf": sf,
         "extraction": {
             "turns": metrics["rows_out"],

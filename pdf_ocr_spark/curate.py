@@ -41,7 +41,9 @@ def curate_corpus(extracted: DataFrame, *,
                   rep_3gram_threshold: float = 0.18,
                   train_pct: int = 80, val_pct: int = 10,
                   n_shards: int = 8, budget: int = 2048,
-                  max_iters: int = 20) -> DataFrame:
+                  max_iters: int = 20,
+                  semantic_threshold: float | None = None,
+                  semantic_n_cents: int = 16) -> DataFrame:
     """Curate extracted turns into a packed training corpus.
 
     ``extracted`` carries (conv_id, turn_idx, extracted_text) — the
@@ -71,13 +73,33 @@ def curate_corpus(extracted: DataFrame, *,
 
     The split bucket is salted-md5 of "conv_id:turn_idx" — a turn never
     migrates between train and eval when the corpus grows, and the pack
-    shard uses an independent salt so shards decorrelate from splits."""
+    shard uses an independent salt so shards decorrelate from splits.
+
+    ``semantic_threshold`` (optional, VERDICT r4 #2) adds a SemDeDup
+    stage AFTER the MinHash keep-one pass: survivors are embedded with
+    the deterministic signed hashed-gram projection (embed.embed_docs)
+    and turns with a lower-id cluster-mate at cosine >= the threshold
+    are dropped — catching paraphrase-class near-dups whose word-3-gram
+    Jaccard is far below ``jaccard_threshold``. Runs on the (already
+    deduped) canonical set, so its within-cluster pair search sees the
+    smallest possible input."""
     d = turns_as_docs(extracted)
     cc = minhash_clusters(d.select("doc_id", "text"),
                           jaccard_threshold, max_iters)
     canon = (cc.filter(F.col("is_canonical"))
              .select("doc_id", "cluster_size")
              .join(d, "doc_id"))
+    if semantic_threshold is not None:
+        from .embed import embed_docs
+        from .relational.similarity import semdedup_core
+        sem = semdedup_core(
+            embed_docs(canon.select("doc_id", "text"))
+            .withColumnRenamed("doc_id", "vec_id"),
+            semantic_n_cents, 2, semantic_threshold)
+        canon = canon.join(
+            sem.filter(F.col("keep"))
+            .select(F.col("vec_id").alias("doc_id")),
+            "doc_id", "left_semi")
 
     n_tokens, _avg_tok, _punct, score = quality_cols("t_norm")
     base = (canon

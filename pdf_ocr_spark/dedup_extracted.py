@@ -125,3 +125,41 @@ def dedup_extracted_clusters(extracted: DataFrame,
             .select("conv_id", "turn_idx", "cluster_id", "cluster_size",
                     "is_canonical")
             .orderBy("conv_id", "turn_idx"))
+
+
+def semdedup_extracted(extracted: DataFrame,
+                       n_cents: int = 16, n_iters: int = 2,
+                       threshold: float = 0.5,
+                       dim: int | None = None) -> DataFrame:
+    """Semantic (embedding-space) dedup over extracted turns — the
+    near-dup class the MinHash path structurally misses (VERDICT r4 #2):
+    paraphrases and word-substituted rewrites destroy most word-3-gram
+    SHINGLES (each changed word kills 3 shingles, so 25% substitution
+    drops Jaccard to ~0.14, far under the 0.5 cluster threshold) while
+    preserving most of the gram MASS the embedding measures (75% of
+    unigrams + 50% of bigrams survive -> cosine ~0.6).
+
+    Embeddings are the engine's deterministic signed hashed-gram
+    projection (embed.embed_docs); dedup is SemDeDup's cluster-then-
+    verify (similarity.semdedup_core: k-means confinement, within-
+    cluster cosine >= threshold, keep the min-id exemplar). With these
+    hashed-BoW embeddings cosine ~= shared-gram-mass fraction, so the
+    0.5 default means "half the gram mass shared"; a deployment
+    swapping in neural embeddings should raise it to the SemDeDup
+    paper's 0.9+ regime.
+
+    Output: (conv_id, turn_idx, cent_id, keep), one row per
+    successfully extracted turn — ``keep`` False marks a turn with a
+    lower-id semantic duplicate in its cluster."""
+    from .embed import EMBED_DIM, embed_docs
+    from .relational.similarity import semdedup_core
+
+    d = turns_as_docs(extracted)
+    emb = embed_docs(d.select("doc_id", "text"),
+                     EMBED_DIM if dim is None else dim)
+    res = semdedup_core(emb.withColumnRenamed("doc_id", "vec_id"),
+                        n_cents, n_iters, threshold)
+    ids = d.select(F.col("doc_id").alias("vec_id"), "conv_id", "turn_idx")
+    return (res.join(ids, "vec_id")
+            .select("conv_id", "turn_idx", "cent_id", "keep")
+            .orderBy("conv_id", "turn_idx"))

@@ -547,6 +547,26 @@ def q_semdedup(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
              .select(F.col("vec_id").alias("cent_id"),
                      F.expr("transform(embedding, x -> cast(x as double))")
                      .alias("c_emb")))
+    return semdedup_core(e, n_cents, n_iters, threshold, cents=cents)
+
+
+def semdedup_core(e, n_cents: int = 16, n_iters: int = 2,
+                  threshold: float = EMB_NEARDUP_DEFAULT, cents=None):
+    """q_semdedup's engine over an arbitrary ``(vec_id, embedding)``
+    frame — reused by dedup_extracted.semdedup_extracted to run semantic
+    dedup over the pipeline's own hashed-gram embeddings (VERDICT r4
+    #2). Default centroid seeding is the n_cents smallest vec_ids
+    (TakeOrderedAndProject — identical to q_semdedup's ``vec_id <
+    n_cents`` on the dense-id table, and well-defined for surrogate
+    xxhash64 ids); pass ``cents`` to override."""
+    if "label" not in e.columns:
+        e = e.withColumn("label", F.lit(None).cast("string"))
+    if cents is None:
+        cents = (e.orderBy("vec_id").limit(n_cents)
+                 .select(F.col("vec_id").alias("cent_id"),
+                         F.expr("transform(embedding, "
+                                "x -> cast(x as double))")
+                         .alias("c_emb")))
     for _ in range(n_iters):
         cents = _lloyd_update(_assign(e, cents))
     # three consumers below (both pair sides + the verdict join) would

@@ -140,3 +140,30 @@ def test_curate_repetition_default_is_production(spark):
     assert len(curate_corpus(
         ext, rep_2gram_threshold=0.05,
         rep_3gram_threshold=0.02).toPandas()) == 0
+
+
+def test_curate_semantic_stage_drops_paraphrase(spark):
+    """semantic_threshold adds a SemDeDup pass after MinHash keep-one:
+    a 25%-word-substituted paraphrase (shingle Jaccard ~0.14, hashed-BoW
+    cosine ~0.7) survives the default pipeline but not the semantic
+    stage — and exactly one of the pair survives, deterministically."""
+    base = [f"word{i:03d}" for i in range(40)]
+    para = list(base)
+    for i in range(0, 40, 4):
+        para[i] = f"syn{i:03d}"
+    ext = spark.createDataFrame(
+        [("cA", 0, " ".join(base)),
+         ("cB", 0, " ".join(para)),
+         ("cC", 0, " ".join(f"other{i:03d}" for i in range(40)))],
+        "conv_id string, turn_idx int, extracted_text string")
+    plain = curate_corpus(ext)
+    assert plain.count() == 3
+    sem = curate_corpus(ext, semantic_threshold=0.5, semantic_n_cents=1)
+    got = {(r["conv_id"], r["turn_idx"]) for r in sem.collect()}
+    assert ("cC", 0) in got and len(got) == 2
+    assert len({("cA", 0), ("cB", 0)} & got) == 1
+    # repeat: deterministic
+    sem2 = {(r["conv_id"], r["turn_idx"])
+            for r in curate_corpus(ext, semantic_threshold=0.5,
+                                   semantic_n_cents=1).collect()}
+    assert sem2 == got

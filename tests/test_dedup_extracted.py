@@ -146,3 +146,74 @@ def test_e2e_clusters_pair_clone_with_original(spark, piped):
             assert (o["is_canonical"], k["is_canonical"]).count(True) <= 1
     # at least one original/clone pair actually clustered
     assert any(by_turn[t]["cluster_size"] >= 2 for t in orig)
+
+
+# --- semantic dedup over the pipeline's own embeddings (VERDICT r4 #2) ----
+
+def _paraphrase_frame(spark):
+    """A paraphrase pair MinHash structurally misses: every 4th word
+    substituted kills 3 word-3-gram shingles per substitution (Jaccard
+    ~0.14 << 0.5) but keeps 75% of unigram + 50% of bigram mass
+    (hashed-BoW cosine ~0.6-0.7)."""
+    base = [f"word{i:03d}" for i in range(40)]
+    para = list(base)
+    for i in range(0, 40, 4):
+        para[i] = f"syn{i:03d}"
+    return _frame(spark, [
+        ("cA", 0, " ".join(base)),
+        ("cB", 0, " ".join(para)),
+        ("cC", 0, " ".join(f"other{i:03d}" for i in range(40))),
+        ("cD", 0, " ".join(f"third{i:03d}" for i in range(40))),
+    ])
+
+
+def test_embed_docs_unit_norm_and_signed_geometry(spark):
+    """Signed feature hashing: unit norms, identical texts at cosine
+    1.0, disjoint-vocab texts near 0 (the sign is what kills the
+    unsigned-count baseline of ~n/(n+D)), deterministic across calls."""
+    import numpy as np
+
+    from pdf_ocr_spark.embed import embed_docs
+    from pdf_ocr_spark.dedup_extracted import turns_as_docs
+
+    d = turns_as_docs(_paraphrase_frame(spark)).select("doc_id", "text")
+    emb = {r["doc_id"]: np.array(r["embedding"])
+           for r in embed_docs(d).collect()}
+    assert len(emb) == 4
+    for v in emb.values():
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-9)
+    ids = {r["conv_id"]: r["doc_id"]
+           for r in turns_as_docs(_paraphrase_frame(spark)).collect()}
+    cos_para = float(emb[ids["cA"]] @ emb[ids["cB"]])
+    cos_unrel = float(emb[ids["cA"]] @ emb[ids["cC"]])
+    assert cos_para > 0.5            # paraphrase keeps most gram mass
+    assert abs(cos_unrel) < 0.25     # signs cancel across disjoint vocab
+    emb2 = {r["doc_id"]: np.array(r["embedding"])
+            for r in embed_docs(d).collect()}
+    for k in emb:
+        assert np.array_equal(emb[k], emb2[k])
+
+
+def test_semdedup_extracted_catches_paraphrase_minhash_misses(spark):
+    ext = _paraphrase_frame(spark)
+    # the MinHash cluster path sees 4 singletons...
+    cl = dedup_extracted_clusters(ext).collect()
+    assert all(r["cluster_size"] == 1 for r in cl)
+    # ...the embedding path pairs cA/cB and keeps exactly one of them
+    from pdf_ocr_spark.dedup_extracted import semdedup_extracted
+    sd = {(r["conv_id"], r["turn_idx"]): r["keep"]
+          for r in semdedup_extracted(ext, n_cents=2).collect()}
+    assert len(sd) == 4
+    assert sd[("cC", 0)] and sd[("cD", 0)]
+    assert sorted([sd[("cA", 0)], sd[("cB", 0)]]) == [False, True]
+
+
+def test_semdedup_extracted_excludes_error_turns(spark):
+    ext = spark.createDataFrame(
+        [("cA", 0, "alpha beta gamma delta", "plain"),
+         ("cE", 0, "", "error")],
+        "conv_id string, turn_idx int, extracted_text string, "
+        "method string")
+    from pdf_ocr_spark.dedup_extracted import semdedup_extracted
+    rows = semdedup_extracted(ext, n_cents=1).collect()
+    assert [(r["conv_id"], r["keep"]) for r in rows] == [("cA", True)]

@@ -20,7 +20,7 @@ def test_queries_and_oracles_align(spark):
     assert set(qs) - set(oracles) == {
         "extract_transcripts", "dedup_extracted_exact",
         "dedup_extracted_neardup", "dedup_extracted_clusters",
-        "curate_corpus"}
+        "semdedup_extracted", "curate_corpus"}
     assert len(qs) >= 25
 
 
