@@ -43,7 +43,8 @@ def curate_corpus(extracted: DataFrame, *,
                   n_shards: int = 8, budget: int = 2048,
                   max_iters: int = 20,
                   semantic_threshold: float | None = None,
-                  semantic_n_cents: int = 16) -> DataFrame:
+                  semantic_n_cents: int = 16,
+                  count_mode: str = "ws") -> DataFrame:
     """Curate extracted turns into a packed training corpus.
 
     ``extracted`` carries (conv_id, turn_idx, extracted_text) — the
@@ -111,6 +112,13 @@ def curate_corpus(extracted: DataFrame, *,
         (F.expr(_dup_frac_expr(2)) > rep_2gram_threshold)
         | (F.expr(_dup_frac_expr(3)) > rep_3gram_threshold)
     ).otherwise(F.lit(False))
+    if count_mode == "pretok":
+        # CJK-aware GPT-2-style pre-tokenizer (VERDICT r4 #3): the
+        # budget count that is right for unspaced scripts and code;
+        # quality/repetition metrics stay word-based (they measure
+        # prose structure, not budget)
+        from .relational.textstats import pretok_count
+        n_tokens = pretok_count("t_norm")
     scored = base.select(
         "conv_id", "turn_idx", "cluster_size",
         n_tokens.cast("long").alias("n_tokens"),

@@ -16,6 +16,40 @@ _SW_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# GPT-2-style pre-tokenizer (VERDICT r4 #3), CJK-aware: contractions,
+# optional-leading-space letter/digit runs, CJK chars as SINGLETONS
+# (BPE yields ~1 token per common Han char — a Latin-style \p{L}+ run
+# would count a whole unspaced Chinese sentence as ONE token, the
+# budget-math bug this fixes), and non-alnum runs. Differences vs the
+# real GPT-2 regex, both deliberate: no `\s+(?!\S)` lookahead (RE2 has
+# no lookahead; whitespace runs are simply not counted as tokens, which
+# is what a token BUDGET wants anyway) and ASCII letter/digit classes
+# (non-ASCII letters fall to the catch-all run, approximating BPE's
+# byte-level splits of accented words). Same alternation order in both
+# engines; Java scripts are \p{IsHan}, RE2's are \p{Han}.
+_CJK_JAVA = r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}"
+_CJK_RE2 = r"\p{Han}\p{Hiragana}\p{Katakana}"
+
+
+def _pretok_pattern(cjk: str) -> str:
+    return ("'(?:s|t|re|ve|m|ll|d)"
+            f"| ?[{cjk}]| ?[A-Za-z]+| ?[0-9]+"
+            f"| ?[^A-Za-z0-9\\s{cjk}]+")
+
+
+_PRETOK_JAVA = _pretok_pattern(_CJK_JAVA)
+_PRETOK_RE2_SQL = _pretok_pattern(_CJK_RE2).replace("'", "''")
+
+
+def pretok_count(col) -> F.Column:
+    """Pre-tokenizer token count of a string column — the Java-regex
+    (Spark) side; the DuckDB twin is _PRETOK_RE2_SQL. Built with the
+    Python functions API, NOT F.expr: Spark SQL string literals eat
+    single backslashes and the pattern contains a quote."""
+    return F.size(F.regexp_extract_all(F.col(col) if isinstance(col, str)
+                                       else col,
+                                       F.lit(_PRETOK_JAVA), F.lit(0)))
+
 
 def q_lang_id(spark, sf_dir):
     """n-gram/stopword language-ID heuristic: predict 'en' when the
@@ -122,6 +156,36 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_token_count_pretok(spark, sf_dir):
+    """Tokenizer-faithful token counting (VERDICT r4 #3): the
+    CJK-aware GPT-2-style pre-tokenizer (_PRETOK_JAVA) per source,
+    with the CJK-character share broken out — the count LLM budget
+    math needs on unspaced scripts, where the whitespace count reads a
+    whole sentence as one token. Same map-side-combinable shape as
+    q_token_count: one regex count per row, one group-by."""
+    d = t(spark, sf_dir, "documents")
+    pre = pretok_count("text")
+    cjk = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit(f"[{_CJK_JAVA}]"), F.lit(0)))
+    return (d.groupBy("source")
+            .agg(F.sum(pre).alias("pretok_tokens"),
+                 F.sum(cjk).alias("cjk_tokens"),
+                 round6(F.avg(pre)).alias("avg_pretok_tokens"))
+            .orderBy("source"))
+
+
+SQL_TOKEN_COUNT_PRETOK = f"""
+SELECT source,
+       sum(len(regexp_extract_all(text, '{_PRETOK_RE2_SQL}')))::BIGINT
+         AS pretok_tokens,
+       sum(len(regexp_extract_all(text, '[{_CJK_RE2}]')))::BIGINT
+         AS cjk_tokens,
+       {sql_round6("avg(len(regexp_extract_all(text, '"
+                   + _PRETOK_RE2_SQL + "')))")} AS avg_pretok_tokens
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: minimum portable hash over word 5-gram
     shingles — robust to small edits, the join key for fingerprint-level
@@ -187,7 +251,7 @@ PACK_BUDGET = 2048
 
 
 def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
-                  budget: int = PACK_BUDGET):
+                  budget: int = PACK_BUDGET, count_mode: str = "ws"):
     """Sequence packing for LLM pretraining (concat-and-chunk): docs are
     hashed into ``n_shards`` independent shards, concatenated within the
     shard in deterministic doc_id order, and chopped into fixed
@@ -197,10 +261,16 @@ def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
     Scale shape: the cumulative sum is a window PER SHARD — there is no
     global sort/single-partition window; shard count scales with the
     cluster and each shard packs independently (exactly how production
-    packers shard an unbounded corpus)."""
+    packers shard an unbounded corpus).
+
+    ``count_mode``: "ws" (whitespace split — the historical budget) or
+    "pretok" (the CJK-aware GPT-2-style pre-tokenizer — the count that
+    is actually right for LLM budget math on unspaced scripts and code;
+    VERDICT r4 #3)."""
     from pyspark.sql.window import Window
     d = t(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    toks = pretok_count("text") if count_mode == "pretok" \
+        else F.size(F.split(F.trim("text"), r"\s+"))
     shard = salted_mod("doc_id", "pack:", n_shards).cast("int")
     base = d.select("doc_id", shard.alias("shard"),
                     toks.cast("long").alias("n_tokens"))
@@ -218,12 +288,17 @@ def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
             .orderBy("doc_id"))
 
 
-SQL_CORPUS_PACK = rf"""
+def make_corpus_pack_sql(count_mode: str = "ws") -> str:
+    """DuckDB oracle twin of q_corpus_pack at the same ``count_mode`` —
+    one factory so the two engines' count expressions can never drift
+    (the engine-twin default-divergence trap)."""
+    count_sql = _COUNT_SQL[count_mode]
+    return rf"""
 WITH base AS (
   SELECT doc_id,
          ({hash60_sql("'pack:' || doc_id::VARCHAR")}
             % {PACK_N_SHARDS})::INT AS shard,
-         len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_tokens
+         {count_sql}::BIGINT AS n_tokens
   FROM documents
 ),
 c AS (
@@ -238,6 +313,14 @@ SELECT doc_id, shard, n_tokens,
         - floor((cum - n_tokens) / {PACK_BUDGET}) + 1)::BIGINT AS n_packs
 FROM c ORDER BY doc_id
 """
+
+
+_COUNT_SQL = {
+    "ws": r"len(regexp_split_to_array(trim(text), '\s+'))",
+    "pretok": f"len(regexp_extract_all(text, '{_PRETOK_RE2_SQL}'))",
+}
+
+SQL_CORPUS_PACK = make_corpus_pack_sql()
 
 
 BM25_K1 = 1.2    # Robertson/Lucene defaults
@@ -385,7 +468,12 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "token_count_pretok": (q_token_count_pretok, SQL_TOKEN_COUNT_PRETOK),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "corpus_pack": (q_corpus_pack, SQL_CORPUS_PACK),
+    "corpus_pack_pretok": (
+        lambda spark, sf_dir: q_corpus_pack(spark, sf_dir,
+                                            count_mode="pretok"),
+        make_corpus_pack_sql("pretok")),
 }

@@ -167,3 +167,18 @@ def test_curate_semantic_stage_drops_paraphrase(spark):
             for r in curate_corpus(ext, semantic_threshold=0.5,
                                    semantic_n_cents=1).collect()}
     assert sem2 == got
+
+
+def test_curate_count_mode_pretok_budgets_cjk(spark):
+    """count_mode='pretok' budgets unspaced CJK by per-char tokens."""
+    ext = spark.createDataFrame(
+        [("zh", 0, "中文文档没有空格所以按词计数完全失败"),
+         ("en", 0, "plain english words counted the usual way here")],
+        "conv_id string, turn_idx int, extracted_text string")
+    pre = {r["conv_id"]: r["n_tokens"]
+           for r in curate_corpus(ext, min_quality=0.0,
+                                  count_mode="pretok").collect()}
+    ws = {r["conv_id"]: r["n_tokens"]
+          for r in curate_corpus(ext, min_quality=0.0).collect()}
+    assert ws["zh"] == 1 and pre["zh"] == 18
+    assert pre["en"] == ws["en"] == 8

@@ -120,3 +120,73 @@ def test_tfidf_plan_shape(spark):
     plan = _plan(q_tfidf_top_terms(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- CJK-aware pre-tokenizer (VERDICT r4 #3) -------------------------------
+
+_CJK_DOCS = [
+    (0, "zh", "中文文档没有空格所以按词计数完全失败", "news"),
+    (1, "en", "Hello world don't tokenize 123 badly!", "news"),
+    (2, "mix", "mixed 中文 and English カタカナ text", "web"),
+    (3, "code", "x += 42; // increment the counter", "web"),
+]
+
+
+def _cjk_sf(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in _CJK_DOCS], pa.int64()),
+        "lang": pa.array([r[1] for r in _CJK_DOCS]),
+        "text": pa.array([r[2] for r in _CJK_DOCS]),
+        "source": pa.array([r[3] for r in _CJK_DOCS]),
+    }), str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_pretok_cjk_parity_with_duckdb_twin(spark, tmp_path):
+    """The Java and RE2 pre-tokenizer patterns must agree bit-for-bit ON
+    CJK INPUT (the sf tables are ASCII, so the oracle gate alone never
+    exercises the \\p{Han} classes)."""
+    import duckdb
+
+    from pdf_ocr_spark.relational.textstats import (
+        SQL_TOKEN_COUNT_PRETOK, q_token_count_pretok)
+
+    sf = _cjk_sf(tmp_path)
+    got = q_token_count_pretok(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(SQL_TOKEN_COUNT_PRETOK).df()
+    assert got.values.tolist() == want.values.tolist()
+    # and the counts are the CJK-correct ones: doc 0 is 18 Han chars
+    news = got[got.source == "news"].iloc[0]
+    assert news.cjk_tokens == 18
+
+
+def test_corpus_pack_pretok_budgets_cjk(spark, tmp_path):
+    """count_mode='pretok' packs unspaced CJK by its real token count:
+    the 18-char Chinese doc is 18 tokens, not the single 'token' the
+    whitespace split sees."""
+    from pdf_ocr_spark.relational.textstats import q_corpus_pack
+
+    sf = _cjk_sf(tmp_path)
+    ws = {r["doc_id"]: r["n_tokens"]
+          for r in q_corpus_pack(spark, sf).collect()}
+    pre = {r["doc_id"]: r["n_tokens"]
+           for r in q_corpus_pack(spark, sf,
+                                  count_mode="pretok").collect()}
+    assert ws[0] == 1          # whitespace split: one giant "token"
+    assert pre[0] == 18        # pre-tokenizer: one per Han char
+    assert pre[1] >= 6         # English keeps sensible counts
+    # oracle twin at the same mode agrees on the CJK fixture too
+    import duckdb
+
+    from pdf_ocr_spark.relational.textstats import make_corpus_pack_sql
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM '{sf}/documents.parquet'")
+    want = {int(r[0]): int(r[2])
+            for r in con.sql(make_corpus_pack_sql("pretok")).fetchall()}
+    assert want == {k: int(v) for k, v in pre.items()}
