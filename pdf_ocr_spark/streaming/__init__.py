@@ -1,9 +1,10 @@
 """Structured Streaming surface for the extraction engine."""
 
 from .jobs import (
-    conversation_state_stats, stream_dedup_exact, stream_extraction,
-    stream_method_counts,
+    conversation_state_stats, stream_dedup_exact, stream_dedup_neardup,
+    stream_extraction, stream_method_counts,
 )
 
 __all__ = ["conversation_state_stats", "stream_dedup_exact",
-           "stream_extraction", "stream_method_counts"]
+           "stream_dedup_neardup", "stream_extraction",
+           "stream_method_counts"]

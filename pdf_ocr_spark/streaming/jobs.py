@@ -139,6 +139,181 @@ def stream_method_counts(
                     "kind", "n_turns"))
 
 
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark-style duration string ('1 hour', '30 minutes')."""
+    n, unit = spec.split()
+    per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
+           "day": 86_400_000}[unit.rstrip("s")]
+    return int(n) * per
+
+
+def _row_minhash(n_hashes: int):
+    """Per-row MinHash signature as JVM higher-order functions — the
+    streaming form of the batch shingle-explode + groupBy-min
+    (relational/dedup.py _sig_cols): same word-3-gram shingles
+    (_SHINGLE_EXPR), same portable 60-bit hash reduced % MOD, same
+    (a_j*h+b_j) % MOD permutations, so a doc's signature is
+    bit-identical in both engines. min over the shingle MULTISET equals
+    min over the set, so the batch path's .distinct() is unneeded here.
+    Returns (hs_expr, sig_expr) — project hs once, then the signature
+    (recomputing the md5 array per permutation measured 3.3x on the
+    batch analog)."""
+    from ..relational.dedup import _SHINGLE_EXPR
+    from ..relational.util import MINHASH_A, MINHASH_B, MOD
+
+    hs = (f"transform({_SHINGLE_EXPR}, s -> "
+          f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+          f" % {MOD})")
+    mins = ", ".join(
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {MOD}))"
+        for a, b in zip(MINHASH_A[:n_hashes], MINHASH_B[:n_hashes]))
+    return hs, f"array({mins})"
+
+
+def stream_dedup_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "1 hour",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    max_bucket_docs: int = 1024,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming MinHash near-dup detection: candidate pairs whose
+    band keys collide within the watermark horizon (VERDICT r4 #4 —
+    the near-dup extension of stream_dedup_exact).
+
+    Mirrors the batch minhash_band_candidates semantics
+    (relational/dedup.py:106): identical shingling, hash and banding
+    arithmetic, so a pair of turns arriving within the horizon is a
+    streaming candidate iff it is a batch candidate over the same rows.
+    The signature is computed PER ROW with JVM higher-order functions
+    (no shuffle, no Python) — only the (band_idx, band_key) group-by
+    shuffles, and it shuffles signature rows, never payloads.
+
+    State (applyInPandasWithState, one entry per band bucket) holds
+    (doc_id, signature, event-time) triples, evicted once they age past
+    the watermark and dropped wholesale via event-time timeout when a
+    bucket goes idle — so state is bounded by (arrival rate x horizon)
+    per bucket, never corpus size, with ``max_bucket_docs`` capping
+    adversarial hot buckets (recall loss for overflow docs, the
+    streaming analog of max_band_bucket). Near-dups farther apart than
+    the horizon are not paired (same documented trade as
+    stream_dedup_exact; run the batch op over the sink for
+    full-history pairs).
+
+    Two deliberate deviations from the batch op, both inherent to
+    bounded state: (1) verification is the MinHash ESTIMATE
+    (matching-component fraction, ``est_jaccard``) rather than exact
+    shingle-set Jaccard — exact verify would hold every shingle set in
+    state; filter on est_jaccard and verify survivors in batch.
+    (2) a pair colliding in k bands emits up to k rows (one per band,
+    ``band_idx`` exposed) — the batch op's final .distinct() is a
+    global shuffle the stream defers to the consumer.
+
+    Returns the streaming DataFrame (doc_a, doc_b, band_idx,
+    est_jaccard) with doc_id = 'conv_id:turn_idx'; caller attaches a
+    sink."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    assert n_hashes % n_bands == 0
+    r = n_hashes // n_bands
+    horizon_ms = _duration_ms(watermark)
+
+    reader = spark.readStream.schema(INPUT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    src = (reader.parquet(input_dir)
+           .withWatermark("ts", watermark)
+           .filter(F.col("text").isNotNull())
+           # ts stays for the watermark; ts_ms is computed ENGINE-side
+           # (internal UTC micros) so the state arithmetic can't drift
+           # from getCurrentWatermarkMs under a non-UTC session timezone
+           .select(F.concat_ws(":", "conv_id", "turn_idx").alias("doc_id"),
+                   "ts",
+                   (F.col("ts").cast("double") * 1000).cast("long")
+                   .alias("ts_ms"),
+                   F.split("text", " ").alias("w"))
+           .filter(F.size("w") >= 3))  # shingle-less docs are never
+    #                                    candidates in the batch op either
+    hs_expr, sig_expr = _row_minhash(n_hashes)
+    sig = (src.withColumn("hs", F.expr(hs_expr))
+           .withColumn("sig", F.expr(sig_expr))
+           .drop("w", "hs"))
+    band_arr = F.array(*[
+        F.concat_ws("-", *[F.element_at("sig", b * r + i + 1)
+                           .cast("string") for i in range(r)])
+        for b in range(n_bands)])
+    banded = sig.select(
+        "doc_id", "ts", "ts_ms", "sig",
+        F.posexplode(band_arr).alias("band_idx", "band_key"))
+
+    out_schema = ("doc_a string, doc_b string, band_idx int, "
+                  "est_jaccard double")
+    # signatures stored FLAT with stride n_hashes (one bigint array per
+    # bucket, not array<array>) — simple, Arrow-friendly state layout
+    state_schema = ("doc_ids array<string>, sigs array<long>, "
+                    "ts_ms array<long>")
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            doc_ids, flat, ts_ms = state.get
+            # plain-python elements: the state row is pickled back to the
+            # JVM, which rejects numpy scalar types
+            doc_ids = [str(d) for d in doc_ids]
+            flat = [int(v) for v in flat]
+            ts_ms = [int(t) for t in ts_ms]
+        else:
+            doc_ids, flat, ts_ms = [], [], []
+        # evict entries older than the watermark: a future arrival would
+        # be late beyond the horizon anyway (bounded-state invariant)
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0 and ts_ms and min(ts_ms) < wm:
+            keep = [i for i, t in enumerate(ts_ms) if t >= wm]
+            doc_ids = [doc_ids[i] for i in keep]
+            ts_ms = [ts_ms[i] for i in keep]
+            flat = [v for i in keep
+                    for v in flat[i * n_hashes:(i + 1) * n_hashes]]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        # deterministic arrival order within the micro-batch
+        batch = batch.sort_values(["ts_ms", "doc_id"], kind="mergesort")
+        seen = set(doc_ids)
+        out = []
+        for doc_id, t_ms, sig_v in zip(batch["doc_id"], batch["ts_ms"],
+                                       batch["sig"]):
+            if doc_id in seen:   # first-seen wins, like the exact op
+                continue
+            sig_l = [int(v) for v in sig_v]
+            for i, other in enumerate(doc_ids):
+                o = flat[i * n_hashes:(i + 1) * n_hashes]
+                est = sum(a == b for a, b in zip(sig_l, o)) / n_hashes
+                a_id, b_id = sorted((doc_id, other))
+                out.append((a_id, b_id, int(key[0]), est))
+            seen.add(doc_id)   # within-batch repeats never re-pair
+            if len(doc_ids) < max_bucket_docs:
+                doc_ids.append(doc_id)
+                flat.extend(sig_l)
+                ts_ms.append(int(t_ms))
+        state.update((doc_ids, flat, ts_ms))
+        if ts_ms:
+            # drop the whole bucket once everything in it has aged out
+            state.setTimeoutTimestamp(max(max(ts_ms) + horizon_ms,
+                                          wm + 1))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_a", "doc_b", "band_idx", "est_jaccard"])
+
+    return (banded.groupBy("band_idx", "band_key")
+            .applyInPandasWithState(
+                update, out_schema, state_schema, "append",
+                GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     input_dir: str,
