@@ -42,6 +42,8 @@ HEADLINE_QUERIES = [
     # overlap matrix, TF-IDF keyword extraction
     "dsir_weights", "corpus_similarity", "tfidf_top_terms",
     "cardinality_estimate", "lm_perplexity_bigram",
+    # r5: CJK-aware pre-tokenizer counting + packing (regex-heavy scans)
+    "token_count_pretok", "corpus_pack_pretok",
 ]
 
 
@@ -190,7 +192,9 @@ def main() -> None:
                 "repetition_stats", "line_dedup", "semdedup",
                 "substring_dedup", "bm25_topk", "lm_perplexity",
                 "dsir_weights", "corpus_similarity", "tfidf_top_terms",
-                "cardinality_estimate", "lm_perplexity_bigram"}
+                "cardinality_estimate", "lm_perplexity_bigram",
+                # r5 additions excluded from the r3-comparable subtotal too
+                "token_count_pretok", "corpus_pack_pretok"}
     comparable = round(sum(v for k, v in timings.items()
                            if k not in r4_added), 3)
     print(json.dumps({

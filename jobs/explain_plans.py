@@ -47,6 +47,10 @@ CHECKS = {
     "cardinality_estimate": ["partial_min"],
     # positions in-row: count aggs + hash joins, never a lag window
     "lm_perplexity_bigram": ["HashAggregate"],
+    # in-row regex counts feeding one map-side-combinable agg
+    "token_count_pretok": ["regexp_extract_all", "HashAggregate"],
+    # composed semantic dedup: surrogate ids JVM-side, cent_id-confined
+    "semdedup_extracted": ["xxhash64", "HashAggregate"],
 }
 
 
@@ -211,6 +215,13 @@ def main() -> None:
             "unigram/bigram/context LMs are three map-side-combinable "
             "counts; scoring is hash joins on tok and (prev, tok), "
             "vocab-bounded sides AQE broadcasts when small.",
+        "token_count_pretok":
+            "CJK-aware pre-tokenizer counting: the regex token counts "
+            "are IN-ROW expressions (regexp_extract_all + size inside "
+            "codegen, no explode) feeding one map-side-combinable "
+            "aggregation; the scan reads only (text, source). At 100 TB "
+            "this is a pure scan-side op — per-row regex cost, zero "
+            "extra shuffles vs the whitespace count.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
@@ -218,7 +229,7 @@ def main() -> None:
                  "contamination_check", "line_dedup", "semdedup",
                  "substring_dedup", "bm25_topk", "dsir_weights",
                  "corpus_similarity", "cardinality_estimate",
-                 "lm_perplexity_bigram"):
+                 "lm_perplexity_bigram", "token_count_pretok"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
@@ -242,6 +253,17 @@ def main() -> None:
             "library's band equi-join + verify untouched, and the "
             "(conv, turn) identity joined back as plain hash joins "
             "(pair side is small -> AQE broadcasts).")
+
+        from pdf_ocr_spark.dedup_extracted import semdedup_extracted
+        capture(
+            "semdedup_extracted", semdedup_extracted(extracted),
+            "Semantic dedup composed with the pipeline's own output: "
+            "deterministic signed hashed-gram embeddings built from "
+            "in-row JVM expressions (no Python in the embed path), "
+            "turns keyed by xxhash64 surrogate ids, and SemDeDup's "
+            "cluster-then-verify — every vector-vector comparison "
+            "confined to a cent_id equi-join, Lloyd means map-side "
+            "combinable, identity joined back as plain hash joins.")
 
         from pdf_ocr_spark.curate import curate_corpus
         capture(
