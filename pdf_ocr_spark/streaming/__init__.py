@@ -2,9 +2,9 @@
 
 from .jobs import (
     conversation_state_stats, stream_dedup_exact, stream_dedup_neardup,
-    stream_extraction, stream_method_counts,
+    stream_extraction, stream_method_counts, stream_sessionize,
 )
 
 __all__ = ["conversation_state_stats", "stream_dedup_exact",
            "stream_dedup_neardup", "stream_extraction",
-           "stream_method_counts"]
+           "stream_method_counts", "stream_sessionize"]

@@ -314,6 +314,39 @@ def stream_dedup_neardup(
                 GroupStateTimeout.EventTimeTimeout))
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with NATIVE session windows — the
+    incremental analog of the batch q_sessionize (relational/queries.py:
+    lag -> new-session flag -> running sum). ``F.session_window(ts,
+    gap)`` has exactly the inactivity-gap semantics the batch op
+    implements by hand, but as a first-class stateful operator: the
+    state store merges overlapping per-event windows and the watermark
+    both admits late turns into their session and lets closed sessions
+    leave state — so state is bounded by OPEN sessions, not history.
+
+    Per-conversation here (transcripts stream); the batch op keys
+    events by user_id — the key is a parameter of the pattern, not the
+    pattern itself.
+
+    Returns the streaming DataFrame (conv_id, session_start,
+    session_end, n_turns); caller attaches a sink. In append mode a
+    session emits once the watermark passes its end (late-data-safe);
+    use update/complete for dashboards that want open sessions."""
+    src = (spark.readStream.schema(INPUT_SCHEMA).parquet(input_dir)
+           .withWatermark("ts", watermark))
+    return (src.groupBy("conv_id", F.session_window("ts", gap))
+            .agg(F.count("*").alias("n_turns"))
+            .select("conv_id",
+                    F.col("session_window.start").alias("session_start"),
+                    F.col("session_window.end").alias("session_end"),
+                    "n_turns"))
+
+
 def stream_dedup_exact(
     spark: SparkSession,
     input_dir: str,

@@ -307,3 +307,59 @@ def test_stream_dedup_neardup_state_evicts_past_watermark(
            for r in spark.sql("select * from sndw").collect()}
     assert ("z:0", "z:1") in got
     assert ("x:0", "x:1") not in got
+
+
+def test_stream_sessionize_batch_parity_and_gap_semantics(
+        spark, tmp_path_factory):
+    """Native session windows: streaming result == the same
+    session_window aggregation run in batch over the same files, and
+    the inactivity-gap semantics match q_sessionize (<=gap merges,
+    >gap splits) — sessions straddling micro-batches merge in state."""
+    from pdf_ocr_spark.streaming import stream_sessionize
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("ssess")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    # conv a: turns at 0,10,20 min (one session), then 60,65 (second
+    # session) — the second session STARTS in file 2; conv b: a turn at
+    # 5 in file 1 and one at 25 in file 2 (20-min gap -> SAME session,
+    # merged across micro-batches)
+    _write_turns(input_dir, "part-0.parquet", [
+        ("a", 0, "t", 0), ("a", 1, "t", 10), ("a", 2, "t", 20),
+        ("b", 0, "t", 5),
+    ], mtime=1_000_000)
+    _write_turns(input_dir, "part-1.parquet", [
+        ("a", 3, "t", 60), ("a", 4, "t", 65),
+        ("b", 1, "t", 25),
+    ], mtime=2_000_000)
+
+    ss = stream_sessionize(spark, input_dir, gap="30 minutes",
+                           watermark="1 hour")
+    q = (ss.writeStream.format("memory").queryName("ssess")
+         .outputMode("complete")
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["conv_id"], r["session_start"], r["session_end"],
+            r["n_turns"])
+           for r in spark.sql("select * from ssess").collect()}
+
+    want = {(r["conv_id"], r["session_start"], r["session_end"],
+             r["n_turns"])
+            for r in (spark.read.parquet(input_dir)
+                      .groupBy("conv_id",
+                               F.session_window("ts", "30 minutes"))
+                      .agg(F.count("*").alias("n_turns"))
+                      .select("conv_id",
+                              F.col("session_window.start")
+                              .alias("session_start"),
+                              F.col("session_window.end")
+                              .alias("session_end"),
+                              "n_turns")).collect()}
+    assert got == want
+    by_conv = {}
+    for conv, *_rest, n in got:
+        by_conv.setdefault(conv, []).append(n)
+    assert sorted(by_conv["a"]) == [2, 3]   # 30-min gap splits
+    assert by_conv["b"] == [2]              # 20-min gap merges x-batch
