@@ -186,6 +186,93 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# URL/link-density stats (r5): RefinedWeb/CCNet-style curation reads
+# link density as a boilerplate/quality signal. Backslash-free pattern
+# so the Spark (Java) and DuckDB (RE2) literals are byte-identical.
+_URL_RE = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+_DOMAIN_RE = "https?://([A-Za-z0-9.-]+)"
+
+
+def q_url_stats(spark, sf_dir):
+    """Per-source URL/link-density stats: URL count, docs-with-links
+    share, distinct domains, links per doc (the RefinedWeb-style
+    boilerplate signal). The driver tables carry no organic URLs, so
+    deterministic URLs are planted per doc_id (every 4th doc, two
+    domains varied by doc_id) — same planting contract as q_pii_redact.
+
+    Scale shape: regex extraction is in-row; the per-source count agg
+    is map-side combinable; distinct domains go through one explode +
+    agg over URL rows only (link-bearing rows, a corpus fraction). No
+    UDF, no cross join."""
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    planted = F.concat(
+        F.col("text"),
+        F.when(did % 4 == 0,
+               F.concat(F.lit(" see https://site"),
+                        (did % 50).cast("string"),
+                        F.lit(".example.org/p/"), did.cast("string"),
+                        F.lit(" and http://cdn"), (did % 7).cast("string"),
+                        F.lit(".example.net/x")))
+        .otherwise(F.lit("")))
+    base = d.select(
+        "source", "doc_id",
+        F.regexp_extract_all(planted, F.lit(_URL_RE), F.lit(0))
+        .alias("urls"))
+    counts = (base.groupBy("source")
+              .agg(F.sum(F.size("urls")).alias("n_urls"),
+                   F.sum(F.when(F.size("urls") > 0, 1).otherwise(0))
+                   .alias("n_docs_with_urls"),
+                   round6(F.avg(F.size("urls")))
+                   .alias("avg_urls_per_doc")))
+    domains = (base.select("source", F.explode("urls").alias("url"))
+               .select("source",
+                       F.regexp_extract("url", _DOMAIN_RE, 1)
+                       .alias("domain"))
+               .groupBy("source")
+               .agg(F.countDistinct("domain").alias("n_domains")))
+    return (counts.join(domains, "source", "left")
+            .select("source", "n_urls", "n_docs_with_urls",
+                    F.coalesce("n_domains", F.lit(0)).alias("n_domains"),
+                    "avg_urls_per_doc")
+            .orderBy("source"))
+
+
+SQL_URL_STATS = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         regexp_extract_all(
+           text ||
+           CASE WHEN doc_id % 4 = 0
+                THEN ' see https://site' || (doc_id % 50)::VARCHAR
+                     || '.example.org/p/' || doc_id::VARCHAR
+                     || ' and http://cdn' || (doc_id % 7)::VARCHAR
+                     || '.example.net/x'
+                ELSE '' END,
+           '{_URL_RE}') AS urls
+  FROM documents
+),
+counts AS (
+  SELECT source, sum(len(urls))::BIGINT AS n_urls,
+         sum(CASE WHEN len(urls) > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS n_docs_with_urls,
+         {sql_round6("avg(len(urls))")} AS avg_urls_per_doc
+  FROM base GROUP BY source
+),
+domains AS (
+  SELECT source,
+         count(DISTINCT regexp_extract(u, '{_DOMAIN_RE}', 1))::BIGINT
+           AS n_domains
+  FROM (SELECT source, unnest(urls) AS u FROM base)
+  GROUP BY source
+)
+SELECT c.source, c.n_urls, c.n_docs_with_urls,
+       coalesce(d.n_domains, 0) AS n_domains, c.avg_urls_per_doc
+FROM counts c LEFT JOIN domains d ON c.source = d.source
+ORDER BY c.source
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: minimum portable hash over word 5-gram
     shingles — robust to small edits, the join key for fingerprint-level
@@ -469,6 +556,7 @@ QUERIES = {
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "token_count_pretok": (q_token_count_pretok, SQL_TOKEN_COUNT_PRETOK),
+    "url_stats": (q_url_stats, SQL_URL_STATS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "split_assign": (q_split_assign, SQL_SPLIT_ASSIGN),
     "corpus_pack": (q_corpus_pack, SQL_CORPUS_PACK),

@@ -299,11 +299,15 @@ def stream_dedup_neardup(
                 doc_ids.append(doc_id)
                 flat.extend(sig_l)
                 ts_ms.append(int(t_ms))
-        state.update((doc_ids, flat, ts_ms))
         if ts_ms:
+            state.update((doc_ids, flat, ts_ms))
             # drop the whole bucket once everything in it has aged out
             state.setTimeoutTimestamp(max(max(ts_ms) + horizon_ms,
                                           wm + 1))
+        elif state.exists:
+            # everything evicted and nothing admitted: an empty row with
+            # no timeout would pin this bucket's state forever
+            state.remove()
         if out:
             yield pd.DataFrame(
                 out, columns=["doc_a", "doc_b", "band_idx", "est_jaccard"])

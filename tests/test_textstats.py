@@ -190,3 +190,40 @@ def test_corpus_pack_pretok_budgets_cjk(spark, tmp_path):
     want = {int(r[0]): int(r[2])
             for r in con.sql(make_corpus_pack_sql("pretok")).fetchall()}
     assert want == {k: int(v) for k, v in pre.items()}
+
+
+def test_url_stats_counts_planted_and_organic(spark, tmp_path):
+    """url_stats counts organic URLs in text plus the deterministic
+    per-doc_id plants, and distinct domains across both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_ocr_spark.relational.textstats import q_url_stats
+
+    rows = [
+        # doc 0: planted (doc_id%4==0 -> 2 urls, site0 + cdn0 domains)
+        (0, "en", "no links in the body here", "news"),
+        # doc 1: one organic url
+        (1, "en", "visit https://example.com/page now", "news"),
+        # doc 2: nothing
+        (2, "en", "plain text", "web"),
+        # doc 4: planted (site4 + cdn4)
+        (4, "en", "body", "web"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+        "source": pa.array([r[3] for r in rows]),
+    }), str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: r for r in q_url_stats(spark,
+                                               str(tmp_path)).collect()}
+    assert got["news"]["n_urls"] == 3          # 2 planted + 1 organic
+    assert got["news"]["n_docs_with_urls"] == 2
+    # domains: site0.example.org, cdn0.example.net, example.com
+    assert got["news"]["n_domains"] == 3
+    assert got["web"]["n_urls"] == 2
+    assert got["web"]["n_docs_with_urls"] == 1
+    assert got["web"]["n_domains"] == 2
+    assert abs(got["news"]["avg_urls_per_doc"] - 1.5) < 1e-9
