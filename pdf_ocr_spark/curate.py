@@ -112,6 +112,8 @@ def curate_corpus(extracted: DataFrame, *,
         (F.expr(_dup_frac_expr(2)) > rep_2gram_threshold)
         | (F.expr(_dup_frac_expr(3)) > rep_3gram_threshold)
     ).otherwise(F.lit(False))
+    from .relational.textstats import check_count_mode
+    check_count_mode(count_mode)
     if count_mode == "pretok":
         # CJK-aware GPT-2-style pre-tokenizer (VERDICT r4 #3): the
         # budget count that is right for unspaced scripts and code;

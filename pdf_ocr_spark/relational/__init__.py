@@ -33,8 +33,12 @@ _ROTATE_TO_BACK = [
 
 
 def _ordered(pairs: dict) -> dict:
+    missing = [k for k in _ROTATE_TO_BACK if k not in pairs]
+    # fail loud on a renamed/misspelled entry: silently skipping it would
+    # quietly move the query back into the gate window (r5 review)
+    assert not missing, f"_ROTATE_TO_BACK entries not in registry: {missing}"
     front = {k: v for k, v in pairs.items() if k not in _ROTATE_TO_BACK}
-    back = {k: pairs[k] for k in _ROTATE_TO_BACK if k in pairs}
+    back = {k: pairs[k] for k in _ROTATE_TO_BACK}
     return {**front, **back}
 
 

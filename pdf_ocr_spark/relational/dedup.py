@@ -299,9 +299,16 @@ def _reassociate(rep_pairs, members, rep_docs, value_col="jaccard",
         from pyspark.sql import Window
 
         # window partitioned by the duplicate-group key: per-group state,
-        # never a global frame
+        # never a global frame. The rn <= m_cap filter becomes a
+        # WindowGroupLimit with a PARTIAL stage before the exchange
+        # (locked in test_plans.py), so a 10^8-member viral group ships
+        # at most m_cap rows per map partition into the final sort — the
+        # cap bounds the COMPUTE, not just the output (r5 review).
         w = Window.partitionBy("th").orderBy("doc_id")
-        if emembers.filter(F.col("grp_n") > m_cap).take(1):
+        # warning probe reads members only (grp_n is already aggregated
+        # there) — one partial-agg job with an early-exit take(1), no
+        # elig join; opt-in cost, only when the cap is set (r5 review)
+        if members.filter(F.col("grp_n") > m_cap).take(1):
             import logging
 
             logging.getLogger(__name__).warning(

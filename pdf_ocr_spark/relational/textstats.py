@@ -26,15 +26,20 @@ _BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # is what a token BUDGET wants anyway) and ASCII letter/digit classes
 # (non-ASCII letters fall to the catch-all run, approximating BPE's
 # byte-level splits of accented words). Same alternation order in both
-# engines; Java scripts are \p{IsHan}, RE2's are \p{Han}.
+# engines; Java scripts are \p{IsHan}, RE2's are \p{Han}. Whitespace is
+# spelled as an EXPLICIT class, not \s: Java's \s includes \x0B
+# (vertical tab) while RE2's does not, so a \s-based catch-all class
+# would count VT runs on the DuckDB side only — a real parity break on
+# OCR'd plain text, where VT appears (r5 review).
 _CJK_JAVA = r"\p{IsHan}\p{IsHiragana}\p{IsKatakana}"
 _CJK_RE2 = r"\p{Han}\p{Hiragana}\p{Katakana}"
+_WS_EXPLICIT = r" \t\n\x0B\f\r"
 
 
 def _pretok_pattern(cjk: str) -> str:
     return ("'(?:s|t|re|ve|m|ll|d)"
             f"| ?[{cjk}]| ?[A-Za-z]+| ?[0-9]+"
-            f"| ?[^A-Za-z0-9\\s{cjk}]+")
+            f"| ?[^A-Za-z0-9{_WS_EXPLICIT}{cjk}]+")
 
 
 _PRETOK_JAVA = _pretok_pattern(_CJK_JAVA)
@@ -337,6 +342,15 @@ PACK_N_SHARDS = 8
 PACK_BUDGET = 2048
 
 
+def check_count_mode(count_mode: str) -> None:
+    """Fail loud on a typo'd count_mode: the Spark paths would otherwise
+    silently fall back to whitespace counting while the SQL twin factory
+    KeyErrors — three behaviors for one string (r5 review)."""
+    if count_mode not in ("ws", "pretok"):
+        raise ValueError(
+            f"count_mode must be 'ws' or 'pretok', got {count_mode!r}")
+
+
 def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
                   budget: int = PACK_BUDGET, count_mode: str = "ws"):
     """Sequence packing for LLM pretraining (concat-and-chunk): docs are
@@ -355,6 +369,7 @@ def q_corpus_pack(spark, sf_dir, n_shards: int = PACK_N_SHARDS,
     is actually right for LLM budget math on unspaced scripts and code;
     VERDICT r4 #3)."""
     from pyspark.sql.window import Window
+    check_count_mode(count_mode)
     d = t(spark, sf_dir, "documents")
     toks = pretok_count("text") if count_mode == "pretok" \
         else F.size(F.split(F.trim("text"), r"\s+"))
@@ -379,6 +394,7 @@ def make_corpus_pack_sql(count_mode: str = "ws") -> str:
     """DuckDB oracle twin of q_corpus_pack at the same ``count_mode`` —
     one factory so the two engines' count expressions can never drift
     (the engine-twin default-divergence trap)."""
+    check_count_mode(count_mode)
     count_sql = _COUNT_SQL[count_mode]
     return rf"""
 WITH base AS (

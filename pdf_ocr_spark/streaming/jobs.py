@@ -140,11 +140,17 @@ def stream_method_counts(
 
 
 def _duration_ms(spec: str) -> int:
-    """Parse a Spark-style duration string ('1 hour', '30 minutes')."""
-    n, unit = spec.split()
+    """Parse a Spark-style duration string — including the multi-unit
+    and fractional forms withWatermark itself accepts ('1 hour
+    30 minutes', '1.5 hours'): the same string feeds both parsers, so
+    this one must not be narrower (r5 review)."""
+    toks = spec.split()
+    if not toks or len(toks) % 2:
+        raise ValueError(f"bad duration: {spec!r}")
     per = {"second": 1_000, "minute": 60_000, "hour": 3_600_000,
-           "day": 86_400_000}[unit.rstrip("s")]
-    return int(n) * per
+           "day": 86_400_000}
+    return int(sum(float(n) * per[u.rstrip("s").lower()]
+                   for n, u in zip(toks[::2], toks[1::2])))
 
 
 def _row_minhash(n_hashes: int):
@@ -161,6 +167,10 @@ def _row_minhash(n_hashes: int):
     from ..relational.dedup import _SHINGLE_EXPR
     from ..relational.util import MINHASH_A, MINHASH_B, MOD
 
+    # same bound the batch path asserts (minhash_band_candidates):
+    # beyond the pre-generated seeds, zip would silently truncate the
+    # signature while band keys index past it (r5 review)
+    assert n_hashes <= len(MINHASH_A), n_hashes
     hs = (f"transform({_SHINGLE_EXPR}, s -> "
           f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
           f" % {MOD})")

@@ -128,3 +128,22 @@ def test_assemble_conversations(spark):
     assert rows["c1"]["conversation_text"] == "alpha\n\nbeta"
     assert rows["c1"]["n_turns"] == 2 and rows["c1"]["n_errors"] == 0
     assert rows["c2"]["n_errors"] == 1
+
+
+def test_group_pairs_cap_window_is_partial_group_limit(spark):
+    """The max_group_pairs row_number window must compile to a
+    WindowGroupLimit with a PARTIAL stage before the exchange: the cap's
+    own motivating scenario (a 10^8-member viral duplicate group) must
+    not funnel every member row through one task — each map partition
+    pre-limits to m_cap rows per group (r5 review)."""
+    from pdf_ocr_spark.relational.dedup import minhash_pairs
+
+    d = spark.createDataFrame(
+        [(i, "same viral text repeated for every doc in the group here")
+         for i in range(10)] +
+        [(100 + i, f"unique filler document number {i} with words")
+         for i in range(5)],
+        "doc_id long, text string")
+    plan = _plan(minhash_pairs(d, 8, 2, max_group_pairs=3))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan

@@ -129,6 +129,9 @@ _CJK_DOCS = [
     (1, "en", "Hello world don't tokenize 123 badly!", "news"),
     (2, "mix", "mixed 中文 and English カタカナ text", "web"),
     (3, "code", "x += 42; // increment the counter", "web"),
+    # vertical tab: Java \\s includes \\x0B, RE2's does not — the parity
+    # trap the explicit whitespace class exists for (r5 review)
+    (4, "vt", "fields\x0bseparated\x0bby vertical\x0btabs", "web"),
 ]
 
 
@@ -227,3 +230,31 @@ def test_url_stats_counts_planted_and_organic(spark, tmp_path):
     assert got["web"]["n_docs_with_urls"] == 1
     assert got["web"]["n_domains"] == 2
     assert abs(got["news"]["avg_urls_per_doc"] - 1.5) < 1e-9
+
+
+def test_count_mode_validation():
+    """A typo'd count_mode fails loud in ALL three entry points instead
+    of silently falling back to whitespace counting (r5 review)."""
+    import pytest as _pytest
+
+    from pdf_ocr_spark.relational.textstats import (
+        check_count_mode, make_corpus_pack_sql)
+
+    check_count_mode("ws")
+    check_count_mode("pretok")
+    with _pytest.raises(ValueError):
+        check_count_mode("pretoken")
+    with _pytest.raises(ValueError):
+        make_corpus_pack_sql("Pretok")
+
+
+def test_curate_count_mode_validation(spark):
+    import pytest as _pytest
+
+    from pdf_ocr_spark.curate import curate_corpus
+
+    ext = spark.createDataFrame(
+        [("c", 0, "some words")],
+        "conv_id string, turn_idx int, extracted_text string")
+    with _pytest.raises(ValueError):
+        curate_corpus(ext, count_mode="pretoken")
