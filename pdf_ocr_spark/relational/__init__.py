@@ -29,6 +29,8 @@ _ROTATE_TO_BACK = [
     "error_rate",            # green r1-r4
     "coord_scale",           # green r1-r4
     "top_tokens",            # green r1-r4
+    "sessionize",            # green r1-r4 (r5: makes window room for
+    #                          quality_classifier)
 ]
 
 

@@ -916,6 +916,134 @@ FROM a ORDER BY doc_id
 """
 
 
+# --- model-based quality classifier (r5) -----------------------------------
+NB_B = 1024  # hashed-feature buckets, same bound discipline as DSIR_B
+
+# deterministic language markers (real function words per lang) — see the
+# planting contract in q_quality_classifier's docstring
+NB_MARKERS = {
+    "en": "the of and with for",
+    "zh": "的 了 在 是 我",
+    "es": "el de y en que",
+    "de": "der und die das ein",
+    "fr": "le de et la les",
+}
+
+_NB_MARKER_SQL = " ".join(
+    f"WHEN lang = '{lg}' THEN ' {ws}'" for lg, ws in NB_MARKERS.items())
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the CCNet fastText / GPT-3
+    logistic-classifier pipeline stage): a Naive Bayes classifier over
+    hashed unigram features, trained IN-QUERY on a labeled proxy
+    (lang == 'en' here — the driver tables carry no quality labels) and
+    scoring every document with the smoothed log-odds. Swap the label
+    column for human/LLM quality labels and the same plumbing is the
+    production quality filter; prediction thresholds on the ROUNDED
+    score so the two engines can never disagree at the boundary.
+
+    Planting contract (same as q_pii_redact / q_url_stats): the
+    synthetic corpus draws EVERY language's text from one shared
+    wordlist, so the table carries no language-correlated vocabulary at
+    all — a label no classifier could beat chance on. Deterministic
+    language-marker function words are appended per doc (the vocabulary
+    real language ID keys on), and the classifier is required to LEARN
+    them from counts: resubstitution accuracy >= 0.9 is asserted in
+    tests — evidence the training/scoring plumbing works, not a claim
+    about the synthetic corpus.
+
+    Scale shape: class-conditional feature counts are ONE map-side-
+    combinable aggregation over the token explode (both classes counted
+    in the same agg via FILTER); the log-likelihood-ratio table is at
+    most NB_B rows (the lit(1) window below runs over that bounded
+    frame only — same documented pattern as DSIR); the scoring join
+    broadcasts it; the prior is a broadcast 1-row aggregate. No UDF, no
+    cartesian, training data never shuffles twice."""
+    from pyspark.sql.window import Window
+    d = t(spark, sf_dir, "documents")
+    marker = F.coalesce(
+        *[F.when(F.col("lang") == lg, F.lit(" " + ws))
+          for lg, ws in NB_MARKERS.items()],
+        F.lit(""))
+    labels = d.select("doc_id", (F.col("lang") == "en").alias("y"))
+    toks = (d.select("doc_id", (F.col("lang") == "en").alias("y"),
+                     F.explode(F.split(F.concat(F.col("text"), marker),
+                                       " ")).alias("tok"))
+            .select("doc_id", "y",
+                    F.pmod(hash60("tok"), F.lit(NB_B)).alias("f")))
+    cnts = toks.groupBy("f").agg(
+        F.count(F.when(F.col("y"), True)).alias("c1"),
+        F.count(F.when(~F.col("y"), True)).alias("c0"))
+    w = Window.partitionBy(F.lit(1))  # <= NB_B rows by construction
+    llr = cnts.select(
+        "f",
+        (F.log((F.col("c1") + 1.0)
+               / (F.sum("c1").over(w) + float(NB_B)))
+         - F.log((F.col("c0") + 1.0)
+                 / (F.sum("c0").over(w) + float(NB_B)))).alias("llr"))
+    prior = labels.agg(
+        (F.log(F.count(F.when(F.col("y"), True)) + 0.0)
+         - F.log(F.count(F.when(~F.col("y"), True)) + 0.0))
+        .alias("prior"))
+    scored = (toks.join(llr, "f")
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_toks"), F.sum("llr").alias("s")))
+    return (scored.crossJoin(F.broadcast(prior))
+            .join(labels, "doc_id")
+            .select("doc_id", "n_toks",
+                    round6(F.col("s") + F.col("prior")).alias("score"),
+                    "y")
+            .select("doc_id", "n_toks", "score",
+                    (F.col("score") > 0.0).alias("pred_en"),
+                    ((F.col("score") > 0.0) == F.col("y"))
+                    .alias("correct"))
+            .orderBy("doc_id"))
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH L AS (
+  SELECT doc_id, (lang = 'en') AS y FROM documents
+),
+T AS (
+  SELECT doc_id, y, ({hash60_sql('tok')} % {NB_B}) AS f
+  FROM (SELECT d.doc_id, l.y,
+               unnest(string_split(
+                 d.text || CASE {_NB_MARKER_SQL} ELSE '' END,
+                 ' ')) AS tok
+        FROM documents d JOIN L l USING (doc_id))
+),
+C AS (
+  SELECT f, count(*) FILTER (WHERE y) AS c1,
+         count(*) FILTER (WHERE NOT y) AS c0
+  FROM T GROUP BY f
+),
+R AS (
+  SELECT f,
+         ln((c1 + 1.0) / (sum(c1) OVER () + {NB_B}.0))
+         - ln((c0 + 1.0) / (sum(c0) OVER () + {NB_B}.0)) AS llr
+  FROM C
+),
+P AS (
+  SELECT ln(count(*) FILTER (WHERE y) * 1.0)
+         - ln(count(*) FILTER (WHERE NOT y) * 1.0) AS prior
+  FROM L
+),
+S AS (
+  SELECT doc_id, count(*)::BIGINT AS n_toks, sum(llr) AS s
+  FROM T JOIN R USING (f) GROUP BY doc_id
+),
+FI AS (
+  SELECT s.doc_id, s.n_toks, {sql_round6('s.s + p.prior')} AS score
+  FROM S s CROSS JOIN P p
+)
+SELECT f.doc_id, f.n_toks, f.score, (f.score > 0.0) AS pred_en,
+       ((f.score > 0.0) = l.y) AS correct
+FROM FI f JOIN L l USING (doc_id)
+ORDER BY f.doc_id
+"""
+
+
 QUERIES = {
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "dsir_weights": (q_dsir_weights, SQL_DSIR_WEIGHTS),
@@ -931,4 +1059,5 @@ QUERIES = {
                             SQL_CONTAMINATION_CHECK),
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "json_props_agg": (q_json_props_agg, SQL_JSON_PROPS_AGG),
+    "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
 }

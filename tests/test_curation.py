@@ -465,3 +465,18 @@ def test_lm_perplexity_bigram_plan(spark):
     assert "CartesianProduct" not in plan
     assert "WindowExec" not in plan  # no lag window: positions in-row
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_learns_planted_vocabulary(spark):
+    """The in-query NB classifier recovers the planted language-marker
+    vocabulary: resubstitution accuracy >= 0.9 (the synthetic corpus
+    itself carries NO language-correlated vocabulary — without the
+    plant, no classifier beats the 0.56 majority baseline, measured)."""
+    from pdf_ocr_spark.relational.curation import q_quality_classifier
+
+    got = q_quality_classifier(spark, SF).toPandas()
+    assert len(got) > 0
+    acc = got["correct"].mean()
+    assert acc >= 0.9
+    # scores are real log-odds, not a constant: both classes predicted
+    assert got["pred_en"].nunique() == 2
