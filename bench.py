@@ -44,6 +44,8 @@ HEADLINE_QUERIES = [
     "cardinality_estimate", "lm_perplexity_bigram",
     # r5: CJK-aware pre-tokenizer counting + packing (regex-heavy scans)
     "token_count_pretok", "corpus_pack_pretok",
+    # r5: link-density stats + in-query-trained NB quality classifier
+    "url_stats", "quality_classifier",
 ]
 
 
@@ -194,7 +196,8 @@ def main() -> None:
                 "dsir_weights", "corpus_similarity", "tfidf_top_terms",
                 "cardinality_estimate", "lm_perplexity_bigram",
                 # r5 additions excluded from the r3-comparable subtotal too
-                "token_count_pretok", "corpus_pack_pretok"}
+                "token_count_pretok", "corpus_pack_pretok",
+                "url_stats", "quality_classifier"}
     # same STATISTIC as the r3 artifact, not just the same query set:
     # r3 recorded one-shot query timings, so the comparable subtotal
     # sums each query's FIRST trial (min-of-2 would read as a speedup

@@ -49,6 +49,8 @@ CHECKS = {
     "lm_perplexity_bigram": ["HashAggregate"],
     # in-row regex counts feeding one map-side-combinable agg
     "token_count_pretok": ["regexp_extract_all", "HashAggregate"],
+    # NB model table broadcast into scoring; counts combine map-side
+    "quality_classifier": ["BroadcastHashJoin", "HashAggregate"],
     # composed semantic dedup: surrogate ids JVM-side, cent_id-confined
     "semdedup_extracted": ["xxhash64", "HashAggregate"],
 }
@@ -222,6 +224,16 @@ def main() -> None:
             "aggregation; the scan reads only (text, source). At 100 TB "
             "this is a pure scan-side op — per-row regex cost, zero "
             "extra shuffles vs the whitespace count.",
+        "quality_classifier":
+            "In-query-trained NB quality filter: class-conditional "
+            "feature counts are ONE map-side-combinable aggregation "
+            "over the token explode (both classes via conditional "
+            "count in the same agg); the log-likelihood-ratio model is "
+            "<= NB_B rows, so the scoring join is a BroadcastHashJoin "
+            "build side; the prior is a broadcast 1-row aggregate. The "
+            "single-partition window runs over the NB_B-bounded count "
+            "table only (same documented pattern as DSIR). Training "
+            "data never shuffles twice; no UDF.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
@@ -229,7 +241,8 @@ def main() -> None:
                  "contamination_check", "line_dedup", "semdedup",
                  "substring_dedup", "bm25_topk", "dsir_weights",
                  "corpus_similarity", "cardinality_estimate",
-                 "lm_perplexity_bigram", "token_count_pretok"):
+                 "lm_perplexity_bigram", "token_count_pretok",
+                 "quality_classifier"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
