@@ -105,8 +105,8 @@ _EXTRACTED_CACHE: dict[str, DataFrame] = {}
 def _extracted_frame(spark: SparkSession) -> DataFrame:
     """Extraction-pipeline output over the pipeline-tier fixture (pooled
     payloads -> genuine duplicate extracted texts), localCheckpointed and
-    cached per process so the three composed dedup queries pay for
-    extraction once."""
+    cached per process so the composed dedup/semdedup/curate queries
+    pay for extraction once."""
     _ship(spark)
     from pyspark.sql import functions as F
 
