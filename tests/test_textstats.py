@@ -258,3 +258,49 @@ def test_curate_count_mode_validation(spark):
         "conv_id string, turn_idx int, extracted_text string")
     with _pytest.raises(ValueError):
         curate_corpus(ext, count_mode="pretoken")
+
+
+def test_pretok_randomized_unicode_parity(spark):
+    """Batched randomized parity sweep for the pre-tokenizer twins:
+    300 deterministic random strings over an adversarial alphabet —
+    ASCII, the whitespace zoo (incl. \\x0B, the Java-\\s/RE2-\\s trap,
+    and U+3000 ideographic space), common Han, Han extensions A and B
+    (astral plane), kana, cyrillic, emoji — must count identically in
+    Spark (Java regex) and DuckDB (RE2). One Spark job, not
+    per-example."""
+    import random
+
+    import duckdb
+    import pyarrow as pa
+
+    from pdf_ocr_spark.relational.textstats import (
+        _PRETOK_RE2_SQL, pretok_count)
+
+    rng = random.Random(7)
+    ws = " \t\n\x0b\f\r　 "
+    pools = [
+        lambda: chr(rng.randint(0x20, 0x7E)),
+        lambda: ws[rng.randint(0, len(ws) - 1)],
+        lambda: chr(rng.randint(0x4E00, 0x9FFF)),
+        lambda: chr(rng.randint(0x3400, 0x4DBF)),
+        lambda: chr(rng.randint(0x20000, 0x2A6DF)),
+        lambda: chr(rng.randint(0x3040, 0x30FF)),
+        lambda: chr(rng.randint(0x0400, 0x04FF)),
+        lambda: chr(rng.randint(0x1F300, 0x1F5FF)),
+    ]
+    texts = ["".join(pools[rng.randint(0, len(pools) - 1)]()
+                     for _ in range(rng.randint(0, 40)))
+             for _ in range(300)]
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "i int, text string")
+    got = {r["i"]: r["n"]
+           for r in df.select("i",
+                              pretok_count("text").alias("n")).collect()}
+    con = duckdb.connect()
+    con.register("tx", pa.table({"i": list(range(len(texts))),
+                                 "text": texts}))
+    want = {i: n for i, n in con.execute(
+        "select i, len(regexp_extract_all(text, '" + _PRETOK_RE2_SQL
+        + "')) from tx").fetchall()}
+    assert got == want
