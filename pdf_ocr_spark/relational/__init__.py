@@ -31,6 +31,7 @@ _ROTATE_TO_BACK = [
     "top_tokens",            # green r1-r4
     "sessionize",            # green r1-r4 (r5: makes window room for
     #                          quality_classifier)
+    "header_footer_having",  # green r1-r4 (r5: room for ann_quantized)
 ]
 
 

@@ -635,8 +635,95 @@ def _gate_semdedup(spark, sf_dir):
     return q_semdedup(spark, sf_dir, threshold=EMB_NEARDUP_THRESHOLD)
 
 
+# --- int8 scalar-quantized ANN (r5) -----------------------------------------
+def q_ann_quantized(spark, sf_dir):
+    """ANN over int8 scalar-quantized embeddings — the embedding-
+    compression scale path (FAISS SQ8 / Milvus-style): per-vector
+    symmetric quantization code_i = floor(x_i / scale + 0.5) with
+    scale = max|x| / 127, cosine computed on the integer codes (the
+    per-vector scales cancel in cosine, so the distance needs ONLY the
+    codes). At 100 TB this cuts the candidate-scan and shuffle bytes 4x
+    vs float32 with ~1e-3 cosine error; the exact float cosine rides
+    along (cardinality_estimate pattern) to exhibit the quantization
+    error at gate scale — production drops it and re-ranks a short
+    candidate list exactly.
+
+    Scale shape: one in-row quantization pass, 1-row query side
+    broadcast, integer dot products in whole-stage codegen, top-k via
+    orderBy+limit (TakeOrderedAndProject). Ordering keys on the ROUNDED
+    approx cosine so the engines cannot disagree at rank boundaries."""
+    e = t(spark, sf_dir, "embeddings")
+    amax = ("aggregate(transform(embedding, x -> abs(cast(x as double)))"
+            ", 0D, (acc, v) -> greatest(acc, v))")
+    base = e.select(
+        "vec_id", "label", "embedding",
+        F.greatest(F.expr(amax) / 127.0, F.lit(1e-30)).alias("scale"))
+    qz = base.select(
+        "vec_id", "label", "embedding",
+        F.expr("transform(embedding, x -> cast(floor(cast(x as double)"
+               " / scale + 0.5D) as int))").alias("qc"))
+    q = (qz.filter(F.col("vec_id") == 0)
+         .select(F.col("qc").alias("q_qc"),
+                 F.col("embedding").alias("q_emb")))
+    qdot = ("aggregate(zip_with(qc, q_qc, (x, y) -> cast(x as bigint) * "
+            "cast(y as bigint)), 0L, (acc, v) -> acc + v)")
+    qnorm = ("sqrt(aggregate(transform(qc, x -> cast(x as double) * "
+             "cast(x as double)), 0D, (acc, v) -> acc + v))")
+    qnorm_q = ("sqrt(aggregate(transform(q_qc, x -> cast(x as double) * "
+               "cast(x as double)), 0D, (acc, v) -> acc + v))")
+    sim = (qz.crossJoin(F.broadcast(q))
+           .filter(F.col("vec_id") != 0)
+           .withColumn("approx_cos",
+                       round6(F.expr(qdot)
+                              / (F.expr(qnorm) * F.expr(qnorm_q))))
+           .withColumn("exact_cos",
+                       round6(F.expr(_DOT_Q)
+                              / (F.expr(_NORM) * F.expr(_NORM_Q)))))
+    return (sim.select(
+                "vec_id", "label", "approx_cos", "exact_cos",
+                round6(F.abs(F.col("approx_cos") - F.col("exact_cos")))
+                .alias("quant_err"))
+            .orderBy(F.desc("approx_cos"), "vec_id").limit(10))
+
+
+_SQL_QC = ("list_transform(range(1, 65), i -> "
+           "floor(embedding[i]::DOUBLE / scale + 0.5)::INT)")
+
+SQL_ANN_QUANTIZED = f"""
+WITH S AS (
+  SELECT vec_id, label, embedding,
+         greatest(list_max(list_transform(range(1, 65),
+                    i -> abs(embedding[i]::DOUBLE))) / 127.0,
+                  1e-30) AS scale
+  FROM embeddings
+),
+QZ AS (
+  SELECT vec_id, label, embedding, {_SQL_QC} AS qc FROM S
+),
+q AS (SELECT qc AS q_qc, embedding AS q_emb FROM QZ WHERE vec_id = 0),
+R AS (
+  SELECT vec_id, label,
+    (floor((list_sum(list_transform(range(1, 65),
+              i -> qc[i]::BIGINT * q_qc[i]::BIGINT))::DOUBLE
+       / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> qc[i]::DOUBLE * qc[i]::DOUBLE)))
+          * sqrt(list_sum(list_transform(range(1, 65),
+                i -> q_qc[i]::DOUBLE * q_qc[i]::DOUBLE)))))
+       * 1000000.0 + 0.5) / 1000000.0) AS approx_cos,
+    (floor(({_SQL_DOT_Q} / ({_SQL_NORM} * {_SQL_NORM_Q}))
+       * 1000000.0 + 0.5) / 1000000.0) AS exact_cos
+  FROM QZ, q WHERE vec_id <> 0
+)
+SELECT vec_id, label, approx_cos, exact_cos,
+       (floor(abs(approx_cos - exact_cos) * 1000000.0 + 0.5)
+        / 1000000.0) AS quant_err
+FROM R ORDER BY approx_cos DESC, vec_id LIMIT 10
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "semdedup": (_gate_semdedup, SQL_SEMDEDUP),
     "dedup_embedding_clusters": (_gate_dedup_embedding_clusters,
                                  SQL_DEDUP_EMBEDDING_CLUSTERS),

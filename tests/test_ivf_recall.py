@@ -123,3 +123,17 @@ def test_embedding_neardup_banded_recall(spark, tmp_path):
     assert found <= truth  # exact verify: no false positives
     recall = len(found) / len(truth)
     assert recall >= 0.9, f"banded LSH recall {recall:.3f} < 0.9"
+
+
+def test_quantized_ann_recall_and_error(spark):
+    """int8 scalar-quantized cosine: the approx top-10 recovers >= 8 of
+    the exact top-10 and per-pair quantization error stays in the SQ8
+    regime (< 0.01 cosine) — the 4x-compression trade quantified."""
+    from pdf_ocr_spark.relational.similarity import (
+        q_ann_cosine_topk, q_ann_quantized)
+
+    sf = "/root/testdata/sf0.001"
+    approx = q_ann_quantized(spark, sf).toPandas()
+    exact = set(q_ann_cosine_topk(spark, sf).toPandas()["vec_id"])
+    assert len(set(approx["vec_id"]) & exact) >= 8
+    assert float(approx["quant_err"].max()) < 0.01
