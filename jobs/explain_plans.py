@@ -51,6 +51,8 @@ CHECKS = {
     "token_count_pretok": ["regexp_extract_all", "HashAggregate"],
     # NB model table broadcast into scoring; counts combine map-side
     "quality_classifier": ["BroadcastHashJoin", "HashAggregate"],
+    # 1-row query broadcast; top-k never globally sorts
+    "ann_quantized": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
     # composed semantic dedup: surrogate ids JVM-side, cent_id-confined
     "semdedup_extracted": ["xxhash64", "HashAggregate"],
 }
@@ -234,6 +236,16 @@ def main() -> None:
             "single-partition window runs over the NB_B-bounded count "
             "table only (same documented pattern as DSIR). Training "
             "data never shuffles twice; no UDF.",
+        "ann_quantized":
+            "int8 scalar-quantized ANN: quantization is one in-row "
+            "transform (codegen), the 1-row query side broadcasts "
+            "(BroadcastNestedLoopJoin over a single row), integer dot "
+            "products stay JVM-side, and the top-k is "
+            "TakeOrderedAndProject — never a global sort. At 100 TB the "
+            "codes table is 4x smaller than float32, which is the whole "
+            "point: scan and shuffle bytes shrink 4x for ~1e-3 cosine "
+            "error (recall-tested), and production re-ranks a short "
+            "exact list.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
@@ -242,7 +254,7 @@ def main() -> None:
                  "substring_dedup", "bm25_topk", "dsir_weights",
                  "corpus_similarity", "cardinality_estimate",
                  "lm_perplexity_bigram", "token_count_pretok",
-                 "quality_classifier"):
+                 "quality_classifier", "ann_quantized"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
