@@ -363,3 +363,67 @@ def test_stream_sessionize_batch_parity_and_gap_semantics(
         by_conv.setdefault(conv, []).append(n)
     assert sorted(by_conv["a"]) == [2, 3]   # 30-min gap splits
     assert by_conv["b"] == [2]              # 20-min gap merges x-batch
+
+
+def test_stream_dedup_neardup_randomized_parity(spark, tmp_path_factory):
+    """Randomized scale-up of the parity test: 60 documents (clusters of
+    near-dup variants + unrelated fillers) shuffled across 3 micro-batch
+    files — the streaming candidate-pair set must equal the batch
+    minhash_band_candidates set over the same rows."""
+    import random
+
+    from pdf_ocr_spark.relational.dedup import (
+        _shingles_of, minhash_band_candidates)
+    from pdf_ocr_spark.streaming import stream_dedup_neardup
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    vocab = ("spark arrow parquet shuffle executor stage task driver "
+             "memory broadcast join filter scan codegen batch column "
+             "row group page index vector hash sort merge union").split()
+
+    def sentence(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    docs = []
+    for c in range(8):                       # 8 clusters of near-dups
+        base = sentence(25).split()
+        for v in range(rng.randint(2, 4)):
+            w = base[:]
+            for _ in range(rng.randint(0, 3)):   # 0-3 word edits
+                w[rng.randrange(len(w))] = rng.choice(vocab)
+            docs.append(f"c{c}v{v}: " + " ".join(w))
+    docs += [f"f{i}: " + sentence(rng.randint(10, 30)) for i in range(20)]
+    rng.shuffle(docs)
+
+    base = tmp_path_factory.mktemp("sndr")
+    input_dir = str(base / "in")
+    os.makedirs(input_dir)
+    per = (len(docs) + 2) // 3
+    for b in range(3):
+        chunk = docs[b * per:(b + 1) * per]
+        _write_turns(input_dir, f"part-{b}.parquet",
+                     [(f"c{b}", i, t, b * 5 + i * 0.01)
+                      for i, t in enumerate(chunk)],
+                     mtime=1_000_000 * (b + 1))
+
+    nd = stream_dedup_neardup(spark, input_dir, watermark="1 hour",
+                              n_hashes=16, n_bands=4,
+                              max_files_per_trigger=1)
+    q = (nd.writeStream.format("memory").queryName("sndr")
+         .outputMode("append")
+         .option("checkpointLocation", str(base / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in spark.sql("select * from sndr").collect()}
+
+    all_docs = (spark.read.parquet(input_dir)
+                .filter(F.col("text").isNotNull())
+                .select(F.concat_ws(":", "conv_id", "turn_idx")
+                        .alias("doc_id"), "text"))
+    want = {(r["doc_a"], r["doc_b"])
+            for r in minhash_band_candidates(
+                _shingles_of(all_docs), 16, 4).collect()}
+    assert got == want
+    assert len(want) >= 5   # the fixture really does produce candidates
