@@ -50,3 +50,28 @@ def append(df: DataFrame, target: str) -> None:
         df.writeTo(target).append()
     else:
         df.write.mode("append").parquet(target)
+
+
+def write_bucketed_table(df: DataFrame, table: str, path: str,
+                         n_buckets: int, key: str = "conv_id") -> None:
+    """Write ``df`` as a BUCKETED catalog table (``bucketBy`` +
+    ``sortBy`` on ``key``): the co-located-join scale path.
+
+    The 100-TB case: the extraction output is joined on conv_id again
+    and again downstream (lineage reconciliation, history listing,
+    per-conversation dedup, analytics). Each sort-merge join over plain
+    parquet re-shuffles the full table; paying the shuffle ONCE at
+    write time (hash-bucketed, sorted files) makes every later
+    equi-join on the key shuffle-free AND sort-free — Spark's bucketed
+    scan exposes the layout as the join's required distribution
+    (proven by plan assertion in tests/test_catalog.py: SortMergeJoin
+    with zero Exchange). On Iceberg the same layout is
+    ``bucket(n, conv_id)`` partition transforms + sorted data files.
+
+    ``path`` makes it an external table (data outlives a dropped
+    catalog entry); bucketed writes require ``saveAsTable`` — the
+    bucket spec lives in the catalog, not the files."""
+    (df.write.format("parquet").mode("overwrite")
+       .option("path", path)
+       .bucketBy(n_buckets, key).sortBy(key)
+       .saveAsTable(table))

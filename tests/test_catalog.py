@@ -54,3 +54,31 @@ def test_overwrite_is_dynamic_even_with_static_session_conf(spark, tmp_path):
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located bucketed join (the bucketing scale path): two tables
+    bucketBy'd on the same key with the same bucket count sort-merge
+    join with ZERO Exchange in the plan — the shuffle was paid once at
+    write time."""
+    from pdf_ocr_spark.catalog import write_bucketed_table
+
+    a = spark.range(0, 200).selectExpr("cast(id as string) conv_id",
+                                       "id * 2 AS chars")
+    b = spark.range(0, 200).selectExpr("cast(id as string) conv_id",
+                                       "id % 7 AS n_pages")
+    write_bucketed_table(a, "t_buck_a", str(tmp_path / "a"), 4)
+    write_bucketed_table(b, "t_buck_b", str(tmp_path / "b"), 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_buck_a").join(spark.table("t_buck_b"),
+                                         "conv_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == 200
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
