@@ -32,6 +32,7 @@ _ROTATE_TO_BACK = [
     "sessionize",            # green r1-r4 (r5: makes window room for
     #                          quality_classifier)
     "header_footer_having",  # green r1-r4 (r5: room for ann_quantized)
+    "detect_sampling",       # green r1-r4 (r5: room for ann_pq)
 ]
 
 

