@@ -53,6 +53,8 @@ CHECKS = {
     "quality_classifier": ["BroadcastHashJoin", "HashAggregate"],
     # 1-row query broadcast; top-k never globally sorts
     "ann_quantized": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
+    # ADC table broadcast; shortlist + re-rank both TakeOrdered
+    "ann_pq": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     # composed semantic dedup: surrogate ids JVM-side, cent_id-confined
     "semdedup_extracted": ["xxhash64", "HashAggregate"],
 }
@@ -246,6 +248,15 @@ def main() -> None:
             "point: scan and shuffle bytes shrink 4x for ~1e-3 cosine "
             "error (recall-tested), and production re-ranks a short "
             "exact list.",
+        "ann_pq":
+            "PQ/ADC with exact re-rank: subspace codebooks and the ADC "
+            "distance table are tiny broadcast sides (M*K rows); "
+            "per-vector scoring is one (m, code) equi-join + a "
+            "combinable M-row sum; the ADC shortlist and the final "
+            "re-rank are both TakeOrderedAndProject — the corpus is "
+            "never globally sorted and only the shortlist pays an "
+            "exact distance. Training assignment windows partition by "
+            "(vec_id, m), never a global frame.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
@@ -254,7 +265,7 @@ def main() -> None:
                  "substring_dedup", "bm25_topk", "dsir_weights",
                  "corpus_similarity", "cardinality_estimate",
                  "lm_perplexity_bigram", "token_count_pretok",
-                 "quality_classifier", "ann_quantized"):
+                 "quality_classifier", "ann_quantized", "ann_pq"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
