@@ -11,8 +11,9 @@ Cluster:
     spark-submit --py-files pdf_ocr_spark.zip jobs/curate_corpus.py \\
         --extracted /path/to/extraction-output \\
         --out /path/to/curated \\
-        [--budget 2048] [--shards 64] [--count-mode pretok] \\
-        [--semantic-threshold 0.5] [--min-quality 0.30]
+        [--budget 2048] [--shards 8] [--count-mode pretok] \\
+        [--semantic-threshold 0.5] [--min-quality 0.30] \\
+        [--jaccard-threshold 0.5]
 
 ``--extracted`` is the parquet (production: Iceberg) table written by
 jobs/run_extract.py. The output is one packed-sequence table

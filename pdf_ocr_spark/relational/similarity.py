@@ -673,12 +673,17 @@ def q_ann_quantized(spark, sf_dir):
                "cast(x as double)), 0D, (acc, v) -> acc + v))")
     sim = (qz.crossJoin(F.broadcast(q))
            .filter(F.col("vec_id") != 0)
+           # greatest(..., 1e-30): an all-zero embedding would make the
+           # norm 0 and 0/0 = NaN, and NaN sorts FIRST under DESC in
+           # both engines — the guard turns it into cos 0 (ranks last)
            .withColumn("approx_cos",
                        round6(F.expr(qdot)
-                              / (F.expr(qnorm) * F.expr(qnorm_q))))
+                              / F.greatest(F.expr(qnorm) * F.expr(qnorm_q),
+                                           F.lit(1e-30))))
            .withColumn("exact_cos",
                        round6(F.expr(_DOT_Q)
-                              / (F.expr(_NORM) * F.expr(_NORM_Q)))))
+                              / F.greatest(F.expr(_NORM) * F.expr(_NORM_Q),
+                                           F.lit(1e-30)))))
     return (sim.select(
                 "vec_id", "label", "approx_cos", "exact_cos",
                 round6(F.abs(F.col("approx_cos") - F.col("exact_cos")))
@@ -705,12 +710,12 @@ R AS (
   SELECT vec_id, label,
     (floor((list_sum(list_transform(range(1, 65),
               i -> qc[i]::BIGINT * q_qc[i]::BIGINT))::DOUBLE
-       / (sqrt(list_sum(list_transform(range(1, 65),
+       / greatest(sqrt(list_sum(list_transform(range(1, 65),
              i -> qc[i]::DOUBLE * qc[i]::DOUBLE)))
           * sqrt(list_sum(list_transform(range(1, 65),
-                i -> q_qc[i]::DOUBLE * q_qc[i]::DOUBLE)))))
+                i -> q_qc[i]::DOUBLE * q_qc[i]::DOUBLE))), 1e-30))
        * 1000000.0 + 0.5) / 1000000.0) AS approx_cos,
-    (floor(({_SQL_DOT_Q} / ({_SQL_NORM} * {_SQL_NORM_Q}))
+    (floor(({_SQL_DOT_Q} / greatest({_SQL_NORM} * {_SQL_NORM_Q}, 1e-30))
        * 1000000.0 + 0.5) / 1000000.0) AS exact_cos
   FROM QZ, q WHERE vec_id <> 0
 )
@@ -734,7 +739,7 @@ _PQ_DIST = ("aggregate(zip_with(s, c, (x, y) -> (x - y) * (x - y)), "
 
 
 def _pq_sub_frame(e):
-    """(vec_id, m, s): every vector split into PQ_M 16-dim double
+    """(vec_id, m, s): every vector split into PQ_M PQ_SUB-dim double
     subvectors — one posexplode, no join."""
     subs = F.array(*[
         F.expr(f"transform(slice(embedding, {m * PQ_SUB + 1}, {PQ_SUB}), "

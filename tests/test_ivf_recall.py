@@ -132,7 +132,7 @@ def test_quantized_ann_recall_and_error(spark):
     from pdf_ocr_spark.relational.similarity import (
         q_ann_cosine_topk, q_ann_quantized)
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     approx = q_ann_quantized(spark, sf).toPandas()
     exact = set(q_ann_cosine_topk(spark, sf).toPandas()["vec_id"])
     assert len(set(approx["vec_id"]) & exact) >= 8
@@ -148,7 +148,7 @@ def test_pq_adc_shortlist_rerank_recall(spark):
 
     from pdf_ocr_spark.relational.similarity import q_ann_pq
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     got = q_ann_pq(spark, sf).toPandas()
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS "
