@@ -47,7 +47,7 @@ HEADLINE_QUERIES = [
     # r5: link-density stats + in-query-trained NB quality classifier
     "url_stats", "quality_classifier",
     # r5: int8 scalar-quantized ANN + PQ/ADC (compression scale paths)
-    "ann_quantized", "ann_pq",
+    "ann_quantized", "ann_pq", "ann_ivf_pq",
 ]
 
 
@@ -199,7 +199,8 @@ def main() -> None:
                 "cardinality_estimate", "lm_perplexity_bigram",
                 # r5 additions excluded from the r3-comparable subtotal too
                 "token_count_pretok", "corpus_pack_pretok",
-                "url_stats", "quality_classifier", "ann_quantized", "ann_pq"}
+                "url_stats", "quality_classifier", "ann_quantized", "ann_pq",
+                "ann_ivf_pq"}
     # same STATISTIC as the r3 artifact, not just the same query set:
     # r3 recorded one-shot query timings, so the comparable subtotal
     # sums each query's FIRST trial (min-of-2 would read as a speedup

@@ -33,6 +33,7 @@ _ROTATE_TO_BACK = [
     #                          quality_classifier)
     "header_footer_having",  # green r1-r4 (r5: room for ann_quantized)
     "detect_sampling",       # green r1-r4 (r5: room for ann_pq)
+    "mean_of_means",         # green r1-r4 (r5: room for ann_ivf_pq)
 ]
 
 

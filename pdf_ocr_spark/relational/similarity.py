@@ -261,6 +261,7 @@ ORDER BY cosine DESC, a.vec_id LIMIT {k}"""
 SQL_ANN_IVF = make_ivf_sql()
 
 
+
 def q_knn_label_vote(spark, sf_dir):
     """kNN classification: for query vectors 0-4, majority label among the
     10 nearest (cosine) neighbors. Ranking window per query."""
@@ -903,10 +904,126 @@ ORDER BY exact_l2sq, s.vec_id LIMIT {k}
 SQL_ANN_PQ = make_pq_sql()
 
 
+# --- composed IVF-PQ (r5): probe cells -> ADC within -> exact re-rank -------
+IVFPQ_SHORTLIST = 50
+IVFPQ_TOPK = 10
+
+
+def q_ann_ivf_pq(spark, sf_dir, n_cents: int = 16, n_iters: int = 2,
+                 nprobe: int = 2):
+    """The full IVF-PQ composition (FAISS's production ANN shape,
+    non-residual variant): the coarse IVF quantizer (identical training
+    to ann_ivf) restricts the search to the query's nprobe best cells,
+    PQ/ADC (identical codebooks to ann_pq) ranks the candidates with
+    M table lookups each, and the ADC shortlist is re-ranked by exact
+    L2. Each stage is the already-oracle-gated machinery — this query
+    is their composition, itself oracle-gated end-to-end.
+
+    Scale shape at 100 TB: the scan touches only nprobe/n_cents of the
+    corpus (cell equi-join), candidates are ranked from 64x-compressed
+    codes (broadcast ADC table), and only IVFPQ_SHORTLIST rows pay an
+    exact distance. Residual encoding (PQ over x - centroid) is the
+    standard refinement on clustered data; on these near-random
+    synthetic embeddings it would change nothing measurable, so the
+    simpler shared-codebook form is used and stated."""
+    e = t(spark, sf_dir, "embeddings") \
+        .select("vec_id", "label", "embedding")
+    cents = (e.filter(F.col("vec_id") < n_cents)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.expr("transform(embedding, x -> cast(x as double))")
+                     .alias("c_emb")))
+    for _ in range(n_iters):
+        cents = _lloyd_update(_assign(e, cents))
+    assigned = _assign(e, cents)
+
+    q_full = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_full"))
+    q_dots = (cents.crossJoin(F.broadcast(q_full))
+              .withColumn("dot", F.expr(
+                  "aggregate(zip_with(q_full, c_emb, (x, y) -> "
+                  "cast(x as double) * y), 0D, (acc, v) -> acc + v)")))
+    probe = (q_dots.orderBy(F.desc("dot"), "cent_id")
+             .limit(nprobe).select("cent_id"))
+    cand = (assigned.join(F.broadcast(probe), "cent_id")
+            .select("vec_id"))
+
+    sub = _pq_sub_frame(e)
+    cb = (sub.filter(F.col("vec_id") < PQ_K)
+          .select(F.col("vec_id").alias("code"), "m",
+                  F.col("s").alias("c")))
+    for _ in range(PQ_ITERS):
+        cb = _pq_update(_pq_assign(sub, cb))
+    codes = (_pq_assign(sub, cb).select("vec_id", "m", "code")
+             .join(cand, "vec_id", "left_semi"))
+
+    qsub = (_pq_sub_frame(e.filter(F.col("vec_id") == 0))
+            .select("m", F.col("s").alias("qs")))
+    dtab = (cb.join(F.broadcast(qsub), "m")
+            .withColumn("dq", F.expr(
+                "aggregate(zip_with(qs, c, (x, y) -> (x - y) * (x - y))"
+                ", 0D, (acc, v) -> acc + v)"))
+            .select("m", "code", "dq"))
+    shortlist = (codes.join(F.broadcast(dtab), ["m", "code"])
+                 .groupBy("vec_id")
+                 .agg(round6(F.sum("dq")).alias("approx_l2sq"))
+                 .filter(F.col("vec_id") != 0)
+                 .orderBy("approx_l2sq", "vec_id").limit(IVFPQ_SHORTLIST))
+
+    q_emb = e.filter(F.col("vec_id") == 0) \
+        .select(F.col("embedding").alias("q_emb"))
+    exact = ("aggregate(zip_with(embedding, q_emb, (x, y) -> "
+             "(cast(x as double) - cast(y as double)) * "
+             "(cast(x as double) - cast(y as double))), 0D, "
+             "(acc, v) -> acc + v)")
+    return (shortlist.join(e, "vec_id")
+            .crossJoin(F.broadcast(q_emb))
+            .withColumn("exact_l2sq", round6(F.expr(exact)))
+            .select("vec_id", "label", "approx_l2sq", "exact_l2sq")
+            .orderBy("exact_l2sq", "vec_id").limit(IVFPQ_TOPK))
+
+
+def make_ivf_pq_sql(n_cents: int = 16, n_iters: int = 2, nprobe: int = 2,
+                    shortlist: int = IVFPQ_SHORTLIST,
+                    k: int = IVFPQ_TOPK) -> str:
+    """DuckDB twin of q_ann_ivf_pq: the IVF training/probe CTE chain
+    (_train_assign_ctes — ends at ``af``/``probe``) concatenated with
+    the PQ chain from make_pq_sql's structure, candidates restricted to
+    probed cells before ADC. One factory, zero drift."""
+    pq_sql = make_pq_sql(shortlist=shortlist, k=k)
+    # reuse the PQ factory's CTE chain verbatim; splice the IVF chain in
+    # front and restrict the ADC input to probed-cell candidates
+    pq_body = pq_sql[len("WITH "):]
+    ivf_ctes = _train_assign_ctes(n_cents, n_iters)
+    prev = f"c{n_iters}" if n_iters else "c0"
+    ivf_ctes.append(f"""probe AS (
+  SELECT cent_id FROM (
+    SELECT c.cent_id,
+           row_number() OVER (ORDER BY
+             list_sum(list_transform(range(1, 65), i ->
+               q.embedding[i]::DOUBLE * c.c_emb[i])) DESC,
+             c.cent_id) AS rn
+    FROM {prev} c, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT a.vec_id FROM af a JOIN probe p ON a.cent_id = p.cent_id
+)""")
+    spliced = pq_body.replace(
+        f"FROM pa{PQ_ITERS} JOIN dtab USING (m, code)",
+        f"FROM pa{PQ_ITERS} JOIN cand USING (vec_id) "
+        "JOIN dtab USING (m, code)")
+    assert spliced != pq_body  # the splice anchor must exist
+    return "WITH " + ",\n".join(ivf_ctes) + ",\n" + spliced
+
+
+SQL_ANN_IVF_PQ = make_ivf_pq_sql()
+
+
 QUERIES = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_quantized": (q_ann_quantized, SQL_ANN_QUANTIZED),
     "ann_pq": (q_ann_pq, SQL_ANN_PQ),
+    "ann_ivf_pq": (q_ann_ivf_pq, SQL_ANN_IVF_PQ),
     "semdedup": (_gate_semdedup, SQL_SEMDEDUP),
     "dedup_embedding_clusters": (_gate_dedup_embedding_clusters,
                                  SQL_DEDUP_EMBEDDING_CLUSTERS),

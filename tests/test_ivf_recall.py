@@ -163,3 +163,29 @@ def test_pq_adc_shortlist_rerank_recall(spark):
       LIMIT 10""").fetchall()}
     assert len(set(got["vec_id"]) & exact) >= 9
     assert (got["approx_l2sq"] != got["exact_l2sq"]).any()
+
+
+def test_ivf_pq_composition_recall(spark):
+    """The composed IVF-PQ (probe 2/16 cells -> ADC -> exact re-rank)
+    recovers >= 6 of the global brute-force L2 top-10 — misses are
+    exactly the neighbors living in unprobed cells (the nprobe trade),
+    and every returned row must come from a probed cell by
+    construction (10 rows, exact re-ranked)."""
+    import duckdb
+
+    from pdf_ocr_spark.relational.similarity import q_ann_ivf_pq
+
+    got = q_ann_ivf_pq(spark, SF).toPandas()
+    assert len(got) == 10
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS "
+                f"SELECT * FROM '{SF}/embeddings.parquet'")
+    exact = {r[0] for r in con.execute("""
+      SELECT vec_id FROM embeddings e,
+        (SELECT embedding AS q FROM embeddings WHERE vec_id = 0) qq
+      WHERE vec_id <> 0
+      ORDER BY list_sum(list_transform(range(1, 65),
+        i -> (e.embedding[i]::DOUBLE - qq.q[i]::DOUBLE)
+           * (e.embedding[i]::DOUBLE - qq.q[i]::DOUBLE))), vec_id
+      LIMIT 10""").fetchall()}
+    assert len(set(got["vec_id"]) & exact) >= 6
