@@ -55,6 +55,8 @@ CHECKS = {
     "ann_quantized": ["BroadcastNestedLoopJoin", "TakeOrderedAndProject"],
     # ADC table broadcast; shortlist + re-rank both TakeOrdered
     "ann_pq": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    # probed-cell candidate restriction + ADC + re-rank, no global sort
+    "ann_ivf_pq": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     # composed semantic dedup: surrogate ids JVM-side, cent_id-confined
     "semdedup_extracted": ["xxhash64", "HashAggregate"],
 }
@@ -257,6 +259,14 @@ def main() -> None:
             "never globally sorted and only the shortlist pays an "
             "exact distance. Training assignment windows partition by "
             "(vec_id, m), never a global frame.",
+        "ann_ivf_pq":
+            "The composed IVF-PQ: the probe set (nprobe rows) "
+            "broadcasts into the candidate restriction, so ADC scoring "
+            "touches only probed cells' code rows; the ADC table and "
+            "codebooks stay broadcast-small; shortlist and final "
+            "re-rank are TakeOrderedAndProject. At 100 TB the exact "
+            "path reads nprobe/n_cents of the corpus and the rest is "
+            "64x-compressed codes.",
     }
     for name in ("pdf_type_classify", "mean_of_means", "ann_cosine_topk",
                  "dedup_minhash_lsh", "dedup_simhash_hamming",
@@ -265,7 +275,8 @@ def main() -> None:
                  "substring_dedup", "bm25_topk", "dsir_weights",
                  "corpus_similarity", "cardinality_estimate",
                  "lm_perplexity_bigram", "token_count_pretok",
-                 "quality_classifier", "ann_quantized", "ann_pq"):
+                 "quality_classifier", "ann_quantized", "ann_pq",
+                 "ann_ivf_pq"):
         capture(name, reg[name](spark, sf_dir), notes[name])
 
     # composed path: dedup over an extraction run's OUTPUT TABLE — the
