@@ -112,3 +112,37 @@ def test_unmatched_end_tag_does_not_end_suppression():
     html = ('<html><body><nav>menu</footer> leaked?</nav>'
             '<p>content</p></body></html>')
     assert extract_html_blocks(html) == ["content"]
+
+
+# --- hypothesis robustness (r5) --------------------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _frag = st.one_of(
+        st.sampled_from([
+            "<div>", "</div>", "<p>", "</p>", "<br/>", "<span a='b'>",
+            "<script>", "</script>", "<style>", "</style>", "<!-- c -->",
+            "<nav>", "</nav>", "<html>", "</head>", "<body>", "&amp;",
+            "&#x41;", "&bogus;", "<", ">", "</", "<x", "<!DOCTYPE html>",
+            "<td", "='", "<![CDATA[", "]]>",
+        ]),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            min_size=0, max_size=12),
+    )
+    _soup = st.lists(_frag, min_size=0, max_size=40).map("".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(_soup)
+    def test_extract_html_text_never_raises_on_tag_soup(soup):
+        """Adversarial/malformed markup must never escape as an
+        exception (the pipeline contains per-row errors, but the
+        extractor itself should be total on arbitrary input), and
+        content inside stripped containers must never leak."""
+        out = extract_html_text(
+            "<html><body><script>SENTINEL_XYZ()</script><p>keep "
+            + soup + "</p></body></html>")
+        assert isinstance(out, str)
+        assert "SENTINEL_XYZ" not in out
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
