@@ -151,3 +151,45 @@ def test_adversarial_through_spark(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out")).collect()
     assert all(r["error"] is not None or r["extracted_text"] != ""
                or r["method"] == "error" for r in out)
+
+
+# --- hypothesis randomized corruption (r5) ----------------------------------
+try:
+    from hypothesis import given, settings, strategies as st
+
+    def _valid_pdf_bytes() -> bytes:
+        return build_pdf([ImagePage(
+            lines=[ScanLine(x=20, y=40, size=12,
+                            text="fuzz target line")],
+            width=200, height=120)])
+
+    _BASE_PDF = _valid_pdf_bytes()
+
+    # flips start at byte 6: corrupting the %PDF- magic changes the
+    # base64 "JVBERi" prefix, so the turn legitimately routes PLAIN
+    # (extract_turn) while _extract_pdf_doc is the pdf-path function —
+    # an apples-to-oranges comparison, not a containment bug
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(
+        st.tuples(st.integers(6, len(_BASE_PDF) - 1),
+                  st.integers(1, 255)),
+        min_size=1, max_size=8))
+    def test_random_byte_flips_are_contained_and_engines_agree(flips):
+        """Randomized corruption of a VALID pdf (1-8 xor byte flips at
+        arbitrary offsets): both implementations must contain the
+        damage (error row or tolerated parse — never an exception that
+        would kill a Spark task) and stay byte-identical to each
+        other."""
+        data = bytearray(_BASE_PDF)
+        for pos, x in flips:
+            data[pos] ^= x
+        payload = _b64(bytes(data))
+        r = oracle.extract_turn(payload)
+        text, spans, method, conf, n_pages, err = _extract_pdf_doc(
+            payload, DEFAULT)
+        assert r.extracted_text == text
+        assert r.method == method
+        if method == "error":
+            assert err and r.error
+except ImportError:  # pragma: no cover
+    pass
