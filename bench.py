@@ -182,6 +182,29 @@ def main() -> None:
             t0 = time.time()
             cfn(ext).count()
             composed[cname] = round(time.time() - t0, 3)
+
+        # streaming ops over the same fixture as a directory source
+        # (availableNow drain; r5 — tracks the stateful near-dup and
+        # session-window paths round-over-round)
+        from pdf_ocr_spark.streaming import (
+            stream_dedup_neardup, stream_sessionize,
+        )
+        sdir = os.path.join(workdir, "stream_in")
+        os.makedirs(sdir, exist_ok=True)
+        shutil.copy(pfix, os.path.join(sdir, "part-0.parquet"))
+        for sname, sdf in (
+                ("stream_neardup", stream_dedup_neardup(spark, sdir)),
+                ("stream_sessionize", stream_sessionize(spark, sdir))):
+            t0 = time.time()
+            q = (sdf.writeStream.format("memory")
+                 .queryName(f"bench_{sname}")
+                 .outputMode("append" if sname == "stream_neardup"
+                             else "complete")
+                 .option("checkpointLocation",
+                         os.path.join(workdir, f"ckpt_{sname}"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(600)
+            composed[sname] = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
